@@ -1,0 +1,130 @@
+"""Config dataclasses for the three staged training variants.
+
+Reference parity (SURVEY.md §0, §2a): training is staged —
+
+1. ``stereo``          : depth net only, stereo photometric loss
+                         (reference ``experiments/depth``).
+2. ``temporal_stereo`` : + odometry net, temporal photometric loss
+                         (reference ``experiments/depth_odometry``).
+3. ``full_feat``       : + deep feature reconstruction loss
+                         (reference ``experiments/depth_odometry_feat``).
+
+Each stage fine-tunes from the previous stage's weights (the reference
+passes ``--weights=<prev>.caffemodel`` to ``caffe train``; here the train
+loop's ``init_from`` points at the previous stage's orbax checkpoint).
+
+Solver parity: the reference used an SGD-family solver with step lr decay
+(solver.prototxt, [M] confidence); Adam with the paper's lr is the
+default here — the gate is metric parity, not solver mimicry (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# KITTI stereo rig: right camera is `baseline` meters along +x of the left
+# camera (SURVEY.md §0: 0.54 m calibrated stereo baseline).
+KITTI_STEREO_BASELINE = 0.54
+
+# KITTI intrinsics scaled to the 608x160 training resolution (approximate
+# average over raw sequences; per-sequence K from the loader overrides this).
+KITTI_FX_608 = 355.0
+KITTI_FY_160 = 376.0 * (160.0 / 376.0)  # fy scaled by H ratio
+KITTI_CX_608 = 303.0
+KITTI_CY_160 = 79.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    height: int = 160
+    width: int = 608
+    num_scales: int = 4
+    max_disp: float = 0.3
+    min_disp: float = 0.00625
+    feat_channels: int = 16
+    compute_dtype: str = "bfloat16"  # activations; params always f32
+
+    @property
+    def image_shape(self) -> Tuple[int, int, int]:
+        return (self.height, self.width, 3)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    optimizer: str = "adam"
+    learning_rate: float = 1e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 10.0
+    # Step decay mirroring Caffe's `stepsize`/`gamma` lr policy.
+    lr_decay_steps: int = 80_000
+    lr_decay_factor: float = 0.5
+    total_steps: int = 200_000
+    warmup_steps: int = 200
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "stereo"
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+
+    # Loss graph switches (the staged recipe).
+    use_stereo: bool = True
+    use_temporal: bool = False
+    use_feature: bool = False
+
+    # Loss weights (reference train.prototxt loss_weight analogs; exact
+    # values are [L]-confidence — tuned for metric parity, SURVEY §7).
+    stereo_weight: float = 1.0
+    temporal_weight: float = 1.0
+    feature_weight: float = 0.1
+    smooth_weight: float = 0.05
+    ssim_weight: float = 0.0  # 0 == reference-faithful pure L1
+
+    edge_aware_smoothness: bool = True
+    stereo_baseline: float = KITTI_STEREO_BASELINE
+
+    # Train feat net jointly (False == reference: frozen feature extractor).
+    train_feat: bool = False
+
+    batch_size: int = 4  # per-replica
+    seed: int = 0
+    log_every: int = 100
+    checkpoint_every: int = 2_000
+    init_from: str | None = None  # previous stage checkpoint dir
+
+
+def stereo(**overrides) -> ExperimentConfig:
+    """Stage 1: stereo photometric depth training (reference experiments/depth)."""
+    return ExperimentConfig(name="stereo", **overrides)
+
+
+def temporal_stereo(**overrides) -> ExperimentConfig:
+    """Stage 2: + odometry net and temporal photometric loss."""
+    return ExperimentConfig(
+        name="temporal_stereo", use_temporal=True, **overrides
+    )
+
+
+def full_feat(**overrides) -> ExperimentConfig:
+    """Stage 3: + deep feature reconstruction loss (the full model)."""
+    return ExperimentConfig(
+        name="full_feat", use_temporal=True, use_feature=True, **overrides
+    )
+
+
+def tiny_test(**overrides) -> ExperimentConfig:
+    """Tiny shapes for unit/integration tests and the multi-chip dryrun."""
+    kwargs = dict(
+        name="tiny",
+        model=ModelConfig(height=32, width=96, num_scales=2, compute_dtype="float32"),
+        optim=OptimConfig(learning_rate=1e-3, total_steps=100, warmup_steps=0),
+        use_temporal=True,
+        use_feature=True,
+        batch_size=2,
+    )
+    kwargs.update(overrides)
+    return ExperimentConfig(**kwargs)

@@ -1,0 +1,195 @@
+"""KITTI raw + odometry dataset readers.
+
+Reference parity (SURVEY.md §2a "Data prep", §3.4): walk KITTI raw drives
+(Eigen split) and odometry seqs, resize frames to 608x160, scale
+intrinsics, and produce stereo/temporal training pairs. The reference did
+this with offline prep scripts + Caffe data layers; here it is an online
+loader (PIL decode + numpy resize on host threads via
+``data.pipeline.prefetch_to_device``).
+
+Directory layouts expected (standard KITTI):
+
+raw:      <root>/<date>/<date>_drive_<id>_sync/image_02/data/*.png  (left)
+                                               image_03/data/*.png  (right)
+          <root>/<date>/calib_cam_to_cam.txt
+odometry: <root>/sequences/<seq>/image_2/*.png (left), image_3 (right)
+          <root>/sequences/<seq>/calib.txt
+          <root>/poses/<seq>.txt (ground truth, eval only)
+
+Images are normalized to [-1, 1] float32 NHWC — note the reference fed
+Caffe BGR mean-subtracted images; our importer-side preprocessing handles
+that difference when running imported Caffe weights (io/caffemodel.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+try:  # PIL is the only image decoder baked into this environment
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+def load_image(path: str, height: int, width: int) -> np.ndarray:
+    """Decode + bilinear-resize to (height, width), scale to [-1, 1]."""
+    if Image is None:  # pragma: no cover
+        raise RuntimeError("PIL not available for image decoding")
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize((width, height), Image.BILINEAR)
+        arr = np.asarray(im, np.float32)
+    return arr / 127.5 - 1.0
+
+
+def _scaled_K(K_full: np.ndarray, orig_wh: Tuple[int, int], out_wh: Tuple[int, int]) -> np.ndarray:
+    sx = out_wh[0] / orig_wh[0]
+    sy = out_wh[1] / orig_wh[1]
+    K = K_full.copy()
+    K[0, :] *= sx
+    K[1, :] *= sy
+    return K
+
+
+def read_raw_calib(calib_path: str) -> Dict[str, np.ndarray]:
+    """Parse KITTI raw calib_cam_to_cam.txt into {key: array}."""
+    out: Dict[str, np.ndarray] = {}
+    with open(calib_path) as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            key, val = line.split(":", 1)
+            try:
+                out[key.strip()] = np.array(
+                    [float(x) for x in val.split()], np.float32
+                )
+            except ValueError:
+                continue
+    return out
+
+
+def read_odometry_calib(calib_path: str) -> np.ndarray:
+    """Parse KITTI odometry calib.txt -> left-cam intrinsics K (3,3)."""
+    with open(calib_path) as f:
+        for line in f:
+            if line.startswith("P2:") or line.startswith("P0:"):
+                vals = np.array([float(x) for x in line.split()[1:]], np.float32)
+                P = vals.reshape(3, 4)
+                return P[:, :3].copy()
+    raise ValueError(f"no projection matrix found in {calib_path}")
+
+
+class KittiRawStereo:
+    """Stereo + temporal triples from KITTI raw drives (training data).
+
+    Produces batches matching the train-loop contract: image_t (left, t),
+    image_r (right, t), image_s (left, t+1), K.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        drives: Sequence[str],
+        height: int = 160,
+        width: int = 608,
+        orig_size: Tuple[int, int] = (1242, 375),
+    ):
+        self.root = root
+        self.height, self.width = height, width
+        self.samples: List[Tuple[str, str, str, np.ndarray]] = []
+        for drive in drives:
+            date = drive.split("_drive_")[0]
+            ddir = os.path.join(root, date, drive)
+            left_dir = os.path.join(ddir, "image_02", "data")
+            right_dir = os.path.join(ddir, "image_03", "data")
+            if not os.path.isdir(left_dir):
+                continue
+            calib = read_raw_calib(os.path.join(root, date, "calib_cam_to_cam.txt"))
+            P = calib["P_rect_02"].reshape(3, 4)
+            K = _scaled_K(P[:, :3], orig_size, (width, height))
+            frames = sorted(os.listdir(left_dir))
+            for a, b in zip(frames[:-1], frames[1:]):
+                self.samples.append(
+                    (
+                        os.path.join(left_dir, a),
+                        os.path.join(right_dir, a),
+                        os.path.join(left_dir, b),
+                        K,
+                    )
+                )
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def get(self, idx: int) -> Dict[str, np.ndarray]:
+        lt, rt, ls, K = self.samples[idx]
+        h, w = self.height, self.width
+        return {
+            "image_t": load_image(lt, h, w),
+            "image_r": load_image(rt, h, w),
+            "image_s": load_image(ls, h, w),
+            "K": K,
+        }
+
+    def iterator(self, batch_size: int, seed: int = 0, shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(seed)
+        order = np.arange(len(self.samples))
+        while True:
+            if shuffle:
+                rng.shuffle(order)
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                idxs = order[start : start + batch_size]
+                items = [self.get(int(i)) for i in idxs]
+                yield {
+                    k: np.stack([it[k] for it in items]) for k in items[0]
+                }
+
+
+class KittiOdometrySequence:
+    """Frame access over one KITTI odometry sequence (eval / VO inference)."""
+
+    def __init__(
+        self,
+        root: str,
+        sequence: str,
+        height: int = 160,
+        width: int = 608,
+        camera: str = "image_2",
+        orig_size: Tuple[int, int] = (1241, 376),
+    ):
+        seq_dir = os.path.join(root, "sequences", sequence)
+        self.frame_paths = sorted(
+            os.path.join(seq_dir, camera, f)
+            for f in os.listdir(os.path.join(seq_dir, camera))
+            if f.endswith(".png")
+        )
+        self.height, self.width = height, width
+        K_full = read_odometry_calib(os.path.join(seq_dir, "calib.txt"))
+        self.K = _scaled_K(K_full, orig_size, (width, height))
+        pose_path = os.path.join(root, "poses", sequence + ".txt")
+        self.gt_poses = None
+        if os.path.isfile(pose_path):
+            raw = np.loadtxt(pose_path, dtype=np.float64).reshape(-1, 3, 4)
+            bottom = np.tile(np.array([[0.0, 0.0, 0.0, 1.0]]), (raw.shape[0], 1, 1))
+            self.gt_poses = np.concatenate([raw, bottom], axis=1)
+
+    def __len__(self) -> int:
+        return len(self.frame_paths)
+
+    def frame(self, idx: int) -> np.ndarray:
+        return load_image(self.frame_paths[idx], self.height, self.width)
+
+    def pair_iterator(self, batch_size: int = 8) -> Iterator[np.ndarray]:
+        """Yield batches of consecutive-frame pairs (B, H, W, 6)."""
+        buf = []
+        for i in range(len(self) - 1):
+            buf.append(
+                np.concatenate([self.frame(i), self.frame(i + 1)], axis=-1)
+            )
+            if len(buf) == batch_size:
+                yield np.stack(buf)
+                buf = []
+        if buf:
+            yield np.stack(buf)

@@ -1,0 +1,66 @@
+"""Host-side data pipeline: threaded prefetch into device memory.
+
+Reference parity (SURVEY.md §2b(ii)): Caffe's ``base_data_layer`` +
+``InternalThread`` + ``data_transformer`` prefetch the next batch on a
+host thread while the GPU computes. The TPU-native equivalent keeps the
+host->HBM copy off the step's critical path by double-buffering with
+``jax.device_put`` onto the mesh while the previous step runs
+(dispatch is async; ``device_put`` overlaps with compute).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator
+
+import jax
+import numpy as np
+
+from depthvo_tpu.parallel import mesh as pmesh
+
+
+def batch_iterator(
+    sample_fn: Callable[[], Dict[str, np.ndarray]],
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Wrap a zero-arg batch factory into an infinite iterator."""
+    while True:
+        yield sample_fn()
+
+
+def prefetch_to_device(
+    it: Iterator[Dict[str, np.ndarray]],
+    mesh=None,
+    buffer_size: int = 2,
+) -> Iterator[Any]:
+    """Prefetch host batches onto the device/mesh on a background thread.
+
+    The producer thread performs decode + ``device_put`` (async transfer);
+    the consumer gets arrays that are already on (or in flight to) the
+    device — the training loop never blocks on host work unless the
+    producer falls behind by ``buffer_size`` batches.
+    """
+    if mesh is None:
+        mesh = pmesh.make_mesh(1)
+    q: queue.Queue = queue.Queue(maxsize=buffer_size)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for batch in it:
+                if stop.is_set():
+                    return
+                q.put(pmesh.shard_batch(batch, mesh))
+        finally:
+            q.put(None)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+    finally:
+        stop.set()

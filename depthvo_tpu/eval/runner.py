@@ -1,0 +1,138 @@
+"""Eval drivers: batched inference + metric computation over KITTI.
+
+Reference parity (SURVEY.md §3.2/§3.3 call stacks): where the reference
+loops pycaffe ``net.forward()`` per frame, the rebuild batches frames
+through one jitted forward — the per-image Python->C++->GPU round trip of
+the reference becomes a single XLA program invocation per batch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from depthvo_tpu.api import DepthVO
+from depthvo_tpu.eval.depth_metrics import compute_depth_metrics
+from depthvo_tpu.eval.odometry import (
+    ate,
+    compose_trajectory,
+    kitti_odometry_errors,
+    write_kitti_poses,
+)
+
+
+def _batched(items: List, batch_size: int):
+    for i in range(0, len(items), batch_size):
+        yield items[i : i + batch_size]
+
+
+def predict_depths(
+    model: DepthVO, frames: np.ndarray, batch_size: int = 16
+) -> np.ndarray:
+    """Batched depth inference over (N, H, W, 3) frames -> (N, H, W).
+
+    Pads the trailing batch to keep a single compiled shape (XLA
+    recompiles per shape; padding is cheaper than a second program).
+    """
+    n = len(frames)
+    out = []
+    for chunk in _batched(list(range(n)), batch_size):
+        batch = frames[chunk[0] : chunk[-1] + 1]
+        pad = batch_size - len(batch)
+        if pad:
+            batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)])
+        depth = model.depth(batch)
+        out.append(depth[: len(chunk)])
+    return np.concatenate(out, axis=0)
+
+
+def predict_trajectory(
+    model: DepthVO, seq, batch_size: int = 16
+) -> np.ndarray:
+    """Run the odometry net over a KittiOdometrySequence and compose the
+    global trajectory (SURVEY.md §3.3)."""
+    rels = []
+    for pairs in seq.pair_iterator(batch_size):
+        pad = batch_size - len(pairs)
+        padded = (
+            np.concatenate([pairs, np.repeat(pairs[-1:], pad, 0)]) if pad else pairs
+        )
+        T = model.pose(padded)
+        rels.append(T[: len(pairs)])
+    rel = np.concatenate(rels, axis=0)
+    return compose_trajectory(rel)
+
+
+def run_depth_eval(
+    checkpoint_dir: str | None,
+    kitti_root: str,
+    split_file: str,
+    max_depth: float = 80.0,
+    height: int = 160,
+    width: int = 608,
+    batch_size: int = 16,
+) -> Dict[str, float]:
+    """Eigen-split depth benchmark: read test frames + gt depth npz/npy,
+    run batched inference, resize to gt, compute the metric table.
+
+    ``split_file`` lines: `<relative_image_path> <relative_gt_depth_npy>`.
+    """
+    from depthvo_tpu.data.kitti import load_image
+
+    model = (
+        DepthVO.from_checkpoint(checkpoint_dir)
+        if checkpoint_dir
+        else DepthVO.from_random()
+    )
+    frames, gts = [], []
+    with open(split_file) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            img_path = os.path.join(kitti_root, parts[0])
+            gt_path = os.path.join(kitti_root, parts[1])
+            frames.append(load_image(img_path, height, width))
+            gts.append(np.load(gt_path))
+    preds = predict_depths(model, np.stack(frames), batch_size)
+    # Resize predictions to each gt's resolution (reference protocol).
+    from PIL import Image
+
+    preds_resized = []
+    for p, g in zip(preds, gts):
+        im = Image.fromarray(p.astype(np.float32), mode="F")
+        preds_resized.append(
+            np.asarray(im.resize((g.shape[1], g.shape[0]), Image.BILINEAR))
+        )
+    return compute_depth_metrics(preds_resized, gts, max_depth=max_depth)
+
+
+def run_odometry_eval(
+    checkpoint_dir: str | None,
+    kitti_odom_root: str,
+    sequence: str = "09",
+    output_dir: str | None = None,
+    height: int = 160,
+    width: int = 608,
+) -> Dict[str, float]:
+    """Seq eval: predict trajectory, write KITTI pose file, devkit
+    metrics + ATE against ground truth."""
+    from depthvo_tpu.data.kitti import KittiOdometrySequence
+
+    model = (
+        DepthVO.from_checkpoint(checkpoint_dir)
+        if checkpoint_dir
+        else DepthVO.from_random()
+    )
+    seq = KittiOdometrySequence(kitti_odom_root, sequence, height, width)
+    poses = predict_trajectory(model, seq)
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        write_kitti_poses(poses, os.path.join(output_dir, f"{sequence}.txt"))
+    result: Dict[str, float] = {"sequence": sequence, "frames": len(seq)}
+    if seq.gt_poses is not None:
+        result.update(kitti_odometry_errors(poses, seq.gt_poses))
+        result["ate_m"] = ate(poses, seq.gt_poses)
+    return result

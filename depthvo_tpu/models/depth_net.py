@@ -1,0 +1,96 @@
+"""DepthNet: single-view inverse-depth network.
+
+Reference parity: the depth CNN of Depth-VO-Feat (SURVEY.md §0 item 1;
+§2a "Depth network def": ResNet50-1by2 encoder + upsampling decoder with
+skip connections, multi-scale inverse-depth output, 608x160 input;
+prototxt paths UNVERIFIED — built to the paper spec).
+
+Architecture (TPU-first re-design, not a prototxt translation):
+* Encoder: ResNet-50 with halved channels ("1by2"): stem 7x7/2 (32ch) +
+  maxpool, bottleneck stages [3,4,6,3] with planes [32,64,128,256]
+  (stage outputs 128/256/512/1024 after the 4x expansion).
+* Decoder: five NN-upsample+conv blocks with encoder skip connections,
+  predicting inverse depth at 4 scales (1/8, 1/4, 1/2, 1/1) — multi-scale
+  supervision as in the reference training graphs.
+* Inverse-depth head: ``disp = max_disp * sigmoid(x) + min_disp`` which
+  bounds predictions to a physically sane range and keeps training stable
+  (the Caffe reference bounds inverse depth similarly via its loss setup).
+
+Everything is static-shaped and jit-compiles to one XLA program; set
+``compute_dtype=jnp.bfloat16`` for MXU-rate convolutions (params stay f32).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from depthvo_tpu.models.layers import ConvBlock, ResNetStage, UpConv
+
+
+class DepthNet(nn.Module):
+    """ResNet50-1by2 encoder / skip-decoder inverse-depth network."""
+
+    stem_features: int = 32
+    stage_planes: Sequence[int] = (32, 64, 128, 256)
+    stage_blocks: Sequence[int] = (3, 4, 6, 3)
+    decoder_features: Sequence[int] = (256, 128, 64, 32, 16)
+    num_scales: int = 4  # inverse-depth outputs at 1/8, 1/4, 1/2, 1/1
+    max_disp: float = 0.3  # upper bound on inverse depth (1/m)
+    min_disp: float = 0.00625  # lower bound (max depth 160 m)
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """Args: x (B, H, W, 3) in [-1, 1]. Returns: list of inverse-depth
+        maps [(B, H/8, W/8, 1), (B, H/4, ...), (B, H/2, ...), (B, H, W, 1)],
+        finest last, in float32."""
+        dt = self.compute_dtype
+        x = x.astype(dt)
+
+        # ----- encoder -----
+        skips = []
+        x = ConvBlock(self.stem_features, 7, 2, dtype=dt)(x, train)  # 1/2
+        skips.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")  # 1/4
+        for i, (planes, blocks) in enumerate(
+            zip(self.stage_planes, self.stage_blocks)
+        ):
+            x = ResNetStage(planes, blocks, stride=1 if i == 0 else 2, dtype=dt)(
+                x, train
+            )
+            skips.append(x)
+        # skips: [1/2 (32), 1/4 (128), 1/8 (256), 1/16 (512), 1/32 (1024)]
+
+        # ----- decoder -----
+        disps = []
+        x = skips[-1]
+        n_up = len(self.decoder_features)
+        for i, feats in enumerate(self.decoder_features):
+            x = UpConv(feats, dtype=dt)(x, train)
+            skip_idx = len(skips) - 2 - i
+            if skip_idx >= 0:
+                x = jnp.concatenate([x, skips[skip_idx]], axis=-1)
+            x = ConvBlock(feats, 3, 1, use_bn=False, dtype=dt)(x, train)
+            # Predict inverse depth at the last `num_scales` resolutions.
+            scale_idx = i - (n_up - self.num_scales)
+            if scale_idx >= 0:
+                raw = nn.Conv(
+                    1,
+                    (3, 3),
+                    padding="SAME",
+                    dtype=dt,
+                    param_dtype=jnp.float32,
+                )(x)
+                disp = (
+                    self.max_disp * nn.sigmoid(raw.astype(jnp.float32))
+                    + self.min_disp
+                )
+                disps.append(disp)
+        return disps
+
+    def single_scale(self, x, train: bool = False):
+        """Finest-scale inverse depth only: (B, H, W, 1)."""
+        return self(x, train)[-1]

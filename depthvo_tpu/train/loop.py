@@ -1,0 +1,284 @@
+"""The train step (loss graph + update) and the host training loop.
+
+This is the rebuild of the reference's training call stack (SURVEY.md
+§3.1): what Caffe expressed as a prototxt DAG of siamese towers, geometry
+layers and loss layers executed by ``Net::ForwardBackward`` is here one
+pure function ``compute_losses`` traced by ``jax.jit`` — XLA owns graph
+construction, scheduling, fusion, and (via the mesh shardings) the
+gradient all-reduce over ICI.
+
+Loss graph (full variant; switches select the staged subsets):
+
+  disp_pyramid = DepthNet(I_t)                         # multi-scale
+  twist        = OdomNet([I_t, I_s]);  T_ts = se3.exp(twist)
+  per scale s:
+    stereo:   warp(I_r -> I_t view, depth_s, T_lr)  -> masked L1
+    temporal: warp(I_s -> I_t view, depth_s, T_ts)  -> masked L1
+    smoothness(disp_s, I_t)
+  finest scale only:
+    feature:  warp(F(I_s) -> F(I_t), depth, T_ts)   -> masked L1
+
+Conventions: images NHWC in [-1, 1]; disp = inverse depth (1/m);
+T_lr maps left-cam points to right-cam coords (X_r = X_l - [b,0,0]).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depthvo_tpu.configs.base import ExperimentConfig
+from depthvo_tpu.geometry import se3, warp as geo_warp
+from depthvo_tpu.geometry.camera import scale_intrinsics
+from depthvo_tpu.losses import (
+    feature_reconstruction_loss,
+    photometric_loss,
+    smoothness_loss,
+)
+from depthvo_tpu.models.layers import resize_bilinear
+from depthvo_tpu.parallel import mesh as pmesh
+from depthvo_tpu.train.state import TrainState, build_models, create_state, make_optimizer
+
+
+def stereo_transform(batch_size: int, baseline: float) -> jax.Array:
+    """T_lr: left-cam -> right-cam. Right camera sits at +baseline*x in the
+    left frame, so point coords shift by -baseline along x."""
+    T = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(-baseline)
+    return jnp.broadcast_to(T, (batch_size, 4, 4))
+
+
+def compute_losses(
+    config: ExperimentConfig,
+    models,
+    params,
+    batch_stats,
+    batch: Dict[str, jax.Array],
+    train: bool,
+):
+    """Evaluate the staged loss graph.
+
+    Args:
+      models: (depth_net, odom_net, feat_net) modules.
+      batch: dict with keys
+        'image_t'  (B,H,W,3) target frame (left cam, time t), in [-1,1]
+        'image_r'  (B,H,W,3) stereo pair (right cam), if use_stereo
+        'image_s'  (B,H,W,3) temporal source (left cam, t+1), if use_temporal
+        'K'        (B,3,3) intrinsics at full resolution
+
+    Returns: (total_loss, (metrics, new_batch_stats))
+    """
+    depth_net, odom_net, feat_net = models
+    image_t = batch["image_t"]
+    K = batch["K"]
+    B, H, W, _ = image_t.shape
+
+    # --- forward: depth tower (BN stats update in train mode) ---
+    dvars = {"params": params["depth"], "batch_stats": batch_stats}
+    if train:
+        disps, mut = depth_net.apply(
+            dvars, image_t, train=True, mutable=["batch_stats"]
+        )
+        new_batch_stats = mut["batch_stats"]
+    else:
+        disps = depth_net.apply(dvars, image_t, train=False)
+        new_batch_stats = batch_stats
+
+    metrics: Dict[str, jax.Array] = {}
+    total = jnp.zeros((), jnp.float32)
+
+    # --- forward: odometry tower ---
+    T_ts = None
+    if config.use_temporal:
+        pair = jnp.concatenate([image_t, batch["image_s"]], axis=-1)
+        twist = odom_net.apply({"params": params["odom"]}, pair, train=train)
+        T_ts = se3.exp(twist)  # target-cam -> source-cam
+        metrics["twist_norm"] = jnp.mean(jnp.linalg.norm(twist, axis=-1))
+
+    T_lr = (
+        stereo_transform(B, config.stereo_baseline) if config.use_stereo else None
+    )
+
+    # --- multi-scale photometric + smoothness ---
+    n_scales = len(disps)
+    stereo_total = jnp.zeros((), jnp.float32)
+    temporal_total = jnp.zeros((), jnp.float32)
+    smooth_total = jnp.zeros((), jnp.float32)
+    for i, disp in enumerate(disps):  # coarsest -> finest
+        h, w = disp.shape[1:3]
+        Ks = scale_intrinsics(K, w / W, h / H)
+        img_t = image_t if (h, w) == (H, W) else resize_bilinear(image_t, h, w)
+        depth = 1.0 / disp[..., 0]
+        if config.use_stereo:
+            img_r = (
+                batch["image_r"]
+                if (h, w) == (H, W)
+                else resize_bilinear(batch["image_r"], h, w)
+            )
+            warped, valid = geo_warp.inverse_warp(img_r, depth, T_lr, Ks)
+            stereo_total += photometric_loss(
+                warped, img_t, valid, config.ssim_weight
+            )
+        if config.use_temporal:
+            img_s = (
+                batch["image_s"]
+                if (h, w) == (H, W)
+                else resize_bilinear(batch["image_s"], h, w)
+            )
+            warped, valid = geo_warp.inverse_warp(img_s, depth, T_ts, Ks)
+            temporal_total += photometric_loss(
+                warped, img_t, valid, config.ssim_weight
+            )
+        smooth_total += smoothness_loss(
+            disp, img_t, edge_aware=config.edge_aware_smoothness
+        ) / (2.0**(n_scales - 1 - i))
+
+    if config.use_stereo:
+        stereo_loss = config.stereo_weight * stereo_total / n_scales
+        metrics["loss/stereo"] = stereo_loss
+        total += stereo_loss
+    if config.use_temporal:
+        temporal_loss = config.temporal_weight * temporal_total / n_scales
+        metrics["loss/temporal"] = temporal_loss
+        total += temporal_loss
+    smooth_loss = config.smooth_weight * smooth_total / n_scales
+    metrics["loss/smooth"] = smooth_loss
+    total += smooth_loss
+
+    # --- feature reconstruction (finest scale; frozen feat net unless
+    # config.train_feat) ---
+    if config.use_feature:
+        feat_params = params["feat"]
+        if not config.train_feat:
+            feat_params = jax.lax.stop_gradient(feat_params)
+        feat_t = feat_net.apply({"params": feat_params}, image_t, train=False)
+        feat_s = feat_net.apply(
+            {"params": feat_params}, batch["image_s"], train=False
+        )
+        depth_full = 1.0 / disps[-1][..., 0]
+        feat_loss = config.feature_weight * feature_reconstruction_loss(
+            feat_s, feat_t, depth_full, T_ts, K
+        )
+        metrics["loss/feature"] = feat_loss
+        total += feat_loss
+
+    metrics["loss/total"] = total
+    metrics["disp/mean"] = jnp.mean(disps[-1])
+    return total, (metrics, new_batch_stats)
+
+
+def make_train_step(
+    config: ExperimentConfig, mesh=None
+) -> Callable[[TrainState, Dict[str, jax.Array]], tuple]:
+    """Build the jitted data-parallel train step.
+
+    With a mesh, state is replicated and the batch is sharded over the
+    ``data`` axis; XLA inserts the gradient psum over ICI (SURVEY.md §5).
+    """
+    models = build_models(config)
+    tx = make_optimizer(config)
+
+    def step_fn(state: TrainState, batch):
+        def loss_fn(params):
+            return compute_losses(
+                config, models, params, state.batch_stats, batch, train=True
+            )
+
+        grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(
+            grads=grads, new_batch_stats=new_bs, tx=tx
+        )
+        metrics["grad/global_norm"] = _global_norm(grads)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+    repl = pmesh.replicated(mesh)
+    # Batch shardings are set by pmesh.shard_batch (batch-divisible leaves
+    # over 'data', the rest replicated) and inherited here — forcing 'data'
+    # on every leaf would reject replicated leaves like a shared K matrix.
+    return jax.jit(
+        step_fn,
+        donate_argnums=0,
+        in_shardings=(repl, None),
+        out_shardings=(repl, repl),
+    )
+
+
+def _global_norm(tree) -> jax.Array:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves)
+    )
+
+
+def make_eval_step(config: ExperimentConfig):
+    """Jitted eval-mode loss evaluation (no update, BN running stats)."""
+    models = build_models(config)
+
+    @jax.jit
+    def eval_fn(state: TrainState, batch):
+        loss, (metrics, _) = compute_losses(
+            config, models, state.params, state.batch_stats, batch, train=False
+        )
+        return metrics
+
+    return eval_fn
+
+
+def fit(
+    config: ExperimentConfig,
+    data_iter: Iterator[Dict[str, np.ndarray]],
+    num_steps: int,
+    mesh=None,
+    checkpoint_dir: str | None = None,
+    log_fn: Callable[[int, Dict[str, float]], None] | None = None,
+    state: TrainState | None = None,
+) -> TrainState:
+    """Host training loop: the rebuild of ``Solver::Solve`` (SURVEY.md §3.1).
+
+    Streams host batches onto the mesh, runs the jitted step, logs the
+    separate loss terms (as the reference's solver display does), and
+    snapshots via orbax every ``config.checkpoint_every`` steps.
+    """
+    if mesh is None:
+        mesh = pmesh.make_mesh(1)
+    if state is None:
+        rng = jax.random.PRNGKey(config.seed)
+        state = create_state(config, rng)
+        if config.init_from:
+            from depthvo_tpu.io import checkpoint as ckpt_io
+
+            state = ckpt_io.restore_weights(config.init_from, state)
+    state = jax.device_put(state, pmesh.replicated(mesh))
+    step_fn = make_train_step(config, mesh)
+
+    ckpt_mgr = None
+    if checkpoint_dir is not None:
+        from depthvo_tpu.io import checkpoint as ckpt_io
+
+        ckpt_mgr = ckpt_io.make_manager(checkpoint_dir)
+        state = ckpt_io.maybe_restore(ckpt_mgr, state)
+
+    t0 = time.perf_counter()
+    start_step = int(state.step)
+    for i in range(start_step, num_steps):
+        batch = pmesh.shard_batch(next(data_iter), mesh)
+        state, metrics = step_fn(state, batch)
+        if log_fn is not None and (i % config.log_every == 0 or i == num_steps - 1):
+            metrics = jax.device_get(metrics)
+            dt = time.perf_counter() - t0
+            metrics["steps_per_sec"] = (i - start_step + 1) / dt
+            log_fn(i, {k: float(v) for k, v in metrics.items()})
+        if ckpt_mgr is not None and (
+            (i + 1) % config.checkpoint_every == 0 or i == num_steps - 1
+        ):
+            from depthvo_tpu.io import checkpoint as ckpt_io
+
+            ckpt_io.save(ckpt_mgr, state)
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait_until_finished()
+    return state

@@ -1,0 +1,123 @@
+"""Train state: params for the three networks + BN stats + optimizer state.
+
+The reference's analog is the Caffe ``Solver`` holding net params and
+momentum history, snapshotted as ``.caffemodel``/``.solverstate``
+(SURVEY.md §5 "Checkpoint / resume"). Here it is a single flax struct —
+a pure pytree, so the whole step (including the update) jits and shards.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from depthvo_tpu.configs.base import ExperimentConfig
+from depthvo_tpu.models import DepthNet, FeatNet, OdomNet
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any  # {'depth': ..., 'odom': ..., 'feat': ...}
+    batch_stats: Any  # depth net BN running stats
+    opt_state: Any
+
+    def apply_gradients(self, *, grads, new_batch_stats, tx):
+        updates, new_opt_state = tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def make_optimizer(config: ExperimentConfig) -> optax.GradientTransformation:
+    """Optimizer chain: warmup + Caffe-style step decay, clip, Adam; the
+    feature net is frozen unless ``config.train_feat`` (reference: the
+    feature extractor is fixed during depth/odom training, SURVEY.md §0)."""
+    oc = config.optim
+    boundaries = {
+        int(oc.lr_decay_steps * (i + 1)): oc.lr_decay_factor
+        for i in range(max(0, oc.total_steps // max(1, oc.lr_decay_steps)))
+    }
+    schedule = optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, oc.learning_rate, max(1, oc.warmup_steps)),
+            optax.piecewise_constant_schedule(oc.learning_rate, boundaries),
+        ],
+        [max(1, oc.warmup_steps)],
+    )
+    if oc.optimizer == "adam":
+        base = optax.adamw(
+            schedule, b1=oc.beta1, b2=oc.beta2, weight_decay=oc.weight_decay
+        )
+    elif oc.optimizer == "sgd":
+        base = optax.sgd(schedule, momentum=oc.beta1)
+    else:
+        raise ValueError(f"unknown optimizer {oc.optimizer!r}")
+    tx = optax.chain(optax.clip_by_global_norm(oc.grad_clip_norm), base)
+
+    def label_fn(params):
+        return {
+            k: jax.tree.map(
+                lambda _: "freeze" if (k == "feat" and not config.train_feat) else "train",
+                v,
+            )
+            for k, v in params.items()
+        }
+
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, label_fn
+    )
+
+
+def build_models(config: ExperimentConfig):
+    """Instantiate the three network modules from config."""
+    mc = config.model
+    dt = jnp.dtype(mc.compute_dtype)
+    depth = DepthNet(
+        num_scales=mc.num_scales,
+        max_disp=mc.max_disp,
+        min_disp=mc.min_disp,
+        compute_dtype=dt,
+    )
+    odom = OdomNet(compute_dtype=dt)
+    feat = FeatNet(out_features=mc.feat_channels, compute_dtype=dt)
+    return depth, odom, feat
+
+
+def create_state(
+    config: ExperimentConfig, rng: jax.Array, tx: optax.GradientTransformation | None = None
+) -> TrainState:
+    """Initialize params for the nets the stage uses and the optimizer state.
+
+    Stage gating mirrors the reference prototxts: the stereo stage's graph
+    contains no odometry/feature layers, so its checkpoint must not carry
+    them either (staged --weights init loads only what exists).
+    """
+    depth, odom, feat = build_models(config)
+    mc = config.model
+    img = jnp.zeros((1, mc.height, mc.width, 3), jnp.float32)
+    pair = jnp.zeros((1, mc.height, mc.width, 6), jnp.float32)
+    k_d, k_o, k_f = jax.random.split(rng, 3)
+    dvars = depth.init(k_d, img, train=False)
+    params = {"depth": dvars["params"]}
+    if config.use_temporal:
+        params["odom"] = odom.init(k_o, pair, train=False)["params"]
+    if config.use_feature:
+        params["feat"] = feat.init(k_f, img, train=False)["params"]
+    batch_stats = dvars.get("batch_stats", {})
+    if tx is None:
+        tx = make_optimizer(config)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )

@@ -1,0 +1,38 @@
+"""Structured per-step logging.
+
+Reference parity (SURVEY.md §5 "Metrics / logging"): Caffe's solver
+prints every loss output with its loss_weight each ``display`` interval
+via glog. The rebuild keeps loss terms separate under the same names the
+loss graph produces (loss/stereo, loss/temporal, loss/feature,
+loss/smooth, loss/total) and writes either human-readable lines or JSONL
+(machine-readable; the analog of parsing glog output).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from typing import Dict, IO
+
+
+class MetricLogger:
+    """Prints `step N: k=v ...` lines and optionally appends JSONL."""
+
+    def __init__(self, stream: IO | None = None, jsonl_path: str | None = None):
+        self.stream = stream or sys.stdout
+        self.jsonl = open(jsonl_path, "a") if jsonl_path else None
+        self._t0 = time.time()
+
+    def __call__(self, step: int, metrics: Dict[str, float]) -> None:
+        parts = " ".join(f"{k}={v:.6g}" for k, v in sorted(metrics.items()))
+        self.stream.write(f"step {step}: {parts}\n")
+        self.stream.flush()
+        if self.jsonl is not None:
+            rec = {"step": step, "t": time.time() - self._t0, **metrics}
+            self.jsonl.write(json.dumps(rec) + "\n")
+            self.jsonl.flush()
+
+    def close(self) -> None:
+        if self.jsonl is not None:
+            self.jsonl.close()

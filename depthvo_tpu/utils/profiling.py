@@ -1,0 +1,171 @@
+"""Benchmark + profiling harness — the rebuild of ``caffe time``
+(SURVEY.md §3.5, §5 "Tracing / profiling"): steady-state timing with
+``jax.block_until_ready`` and optional ``jax.profiler`` traces
+(Perfetto/XPlane) instead of CUDA-event per-layer timers. XLA fuses
+across layer boundaries, so per-layer walltime is not a meaningful unit
+on TPU — the trace viewer gives the per-fusion breakdown instead.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any, Callable, Dict
+
+import jax
+import numpy as np
+
+
+def _force_sync(out: Any) -> None:
+    """Guarantee device completion: fetch one leaf to host.
+
+    ``jax.block_until_ready`` is not a reliable fence on the tunneled
+    axon/TPU backend (it returns before execution finishes, producing
+    absurd timings); a host fetch is."""
+    leaves = jax.tree.leaves(out)
+    if leaves:
+        np.asarray(leaves[0])
+
+
+def time_fn(
+    fn: Callable[[], Any],
+    steps: int = 50,
+    warmup: int = 5,
+    chunk: int = 10,
+) -> Dict[str, float]:
+    """Steady-state wall time per call.
+
+    Times chunks of ``chunk`` back-to-back dispatches ending in one forced
+    host sync (chained dispatch is how the training loop runs; the single
+    fetch amortizes tunnel round-trip latency out of the estimate).
+    """
+    out = None
+    for _ in range(warmup):
+        out = fn()
+    _force_sync(out)
+    chunk_times = []
+    done = 0
+    while done < steps:
+        n = min(chunk, steps - done)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn()
+        _force_sync(out)
+        chunk_times.append((time.perf_counter() - t0) / n)
+        done += n
+    arr = np.asarray(chunk_times)
+    return {
+        "mean_s": float(arr.mean()),
+        "median_s": float(np.median(arr)),
+        "p95_s": float(np.percentile(arr, 95)),
+        "steps": steps,
+    }
+
+
+@contextlib.contextmanager
+def maybe_trace(trace_dir: str | None):
+    """jax.profiler trace context (no-op when trace_dir is None)."""
+    if trace_dir is None:
+        yield
+        return
+    with jax.profiler.trace(trace_dir):
+        yield
+
+
+def run_benchmark(
+    mode: str = "depth_infer",
+    batch_size: int = 4,
+    height: int = 160,
+    width: int = 608,
+    steps: int = 50,
+    trace_dir: str | None = None,
+) -> Dict[str, Any]:
+    """Benchmark one of the hot paths; returns a JSON-able result dict.
+
+    Modes:
+      depth_infer — batched DepthNet forward (the BASELINE fps metric).
+      odom_infer  — batched OdomNet forward + exp-map.
+      train_step  — full full_feat train step (fwd+bwd+update).
+      warp        — the fused inverse-warp op alone.
+    """
+    import jax.numpy as jnp
+
+    from depthvo_tpu import configs
+    from depthvo_tpu.api import DepthVO
+
+    rng = np.random.default_rng(0)
+
+    if mode == "depth_infer":
+        cfg = configs.full_feat()
+        mc = configs.ModelConfig(height=height, width=width)
+        cfg = configs.ExperimentConfig(**{**cfg.__dict__, "model": mc})
+        model = DepthVO.from_random(cfg)
+        images = jnp.asarray(
+            rng.uniform(-1, 1, (batch_size, height, width, 3)), jnp.float32
+        )
+        fn = lambda: model._depth_fn(model.params, model.batch_stats, images)
+    elif mode == "odom_infer":
+        cfg = configs.full_feat()
+        mc = configs.ModelConfig(height=height, width=width)
+        cfg = configs.ExperimentConfig(**{**cfg.__dict__, "model": mc})
+        model = DepthVO.from_random(cfg)
+        pairs = jnp.asarray(
+            rng.uniform(-1, 1, (batch_size, height, width, 6)), jnp.float32
+        )
+        fn = lambda: model._pose_fn(model.params, pairs)
+    elif mode == "train_step":
+        from depthvo_tpu.data.synthetic import SyntheticScenes
+        from depthvo_tpu.parallel import mesh as pmesh
+        from depthvo_tpu.train import loop as train_loop
+        from depthvo_tpu.train.state import create_state
+
+        cfg = configs.full_feat(batch_size=batch_size)
+        mc = configs.ModelConfig(height=height, width=width)
+        cfg = configs.ExperimentConfig(**{**cfg.__dict__, "model": mc})
+        mesh = pmesh.make_mesh(1)
+        state = jax.device_put(
+            create_state(cfg, jax.random.PRNGKey(0)), pmesh.replicated(mesh)
+        )
+        batch = pmesh.shard_batch(
+            SyntheticScenes(cfg, seed=0, num_scenes=2).batch(batch_size), mesh
+        )
+        step_fn = train_loop.make_train_step(cfg, mesh)
+        # donate_argnums=0 invalidates state each call: rebind.
+        holder = {"state": state}
+
+        def fn():
+            holder["state"], metrics = step_fn(holder["state"], batch)
+            return metrics
+    elif mode == "warp":
+        from depthvo_tpu.ops import fused_warp
+
+        src = jnp.asarray(
+            rng.uniform(-1, 1, (batch_size, height, width, 3)), jnp.float32
+        )
+        depth = jnp.asarray(
+            rng.uniform(4, 40, (batch_size, height, width)), jnp.float32
+        )
+        T = jnp.broadcast_to(jnp.eye(4).at[0, 3].set(-0.54), (batch_size, 4, 4))
+        K = jnp.asarray(
+            [[0.58 * width, 0, width / 2], [0, 1.92 * height, height / 2], [0, 0, 1]],
+            jnp.float32,
+        )
+        warp_jit = jax.jit(lambda s, d: fused_warp(s, d, T, K))
+        fn = lambda: warp_jit(src, depth)
+    else:
+        raise ValueError(f"unknown bench mode {mode!r}")
+
+    with maybe_trace(trace_dir):
+        stats = time_fn(fn, steps=steps)
+
+    frames_per_sec = batch_size / stats["median_s"]
+    return {
+        "mode": mode,
+        "batch_size": batch_size,
+        "height": height,
+        "width": width,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        **stats,
+        "frames_per_sec": frames_per_sec,
+    }

@@ -1,0 +1,198 @@
+"""Unit tests for the pinhole camera model and inverse warping: closed-form
+round trips, synthetic-scene warps, and finite-difference gradient checks
+(rebuild analog of Caffe's numeric gradient checker, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depthvo_tpu.geometry import camera, se3, warp
+
+H, W = 16, 48
+K = camera.intrinsics_matrix(fx=30.0, fy=30.0, cx=(W - 1) / 2, cy=(H - 1) / 2)
+
+
+def _image(rng, b=1, c=3, h=H, w=W):
+    # Smooth image: bilinear-resampling tests need band-limited content.
+    small = rng.normal(size=(b, h // 4, w // 4, c))
+    img = jax.image.resize(jnp.asarray(small, jnp.float32), (b, h, w, c), "linear")
+    return img
+
+
+class TestCamera:
+    def test_backproject_project_roundtrip(self, rng):
+        depth = jnp.asarray(1.0 + rng.uniform(size=(2, H, W)) * 9.0, jnp.float32)
+        pts = camera.backproject(depth, K)
+        coords, valid = camera.project(pts, K)
+        grid = camera.pixel_grid(H, W)[..., :2]
+        assert bool(jnp.all(valid))
+        np.testing.assert_allclose(coords, np.broadcast_to(grid, coords.shape), atol=1e-3)
+
+    def test_backproject_depth_is_z(self, rng):
+        depth = jnp.asarray(1.0 + rng.uniform(size=(1, H, W)), jnp.float32)
+        pts = camera.backproject(depth, K)
+        np.testing.assert_allclose(pts[..., 2], depth, atol=1e-5)
+
+    def test_project_behind_camera_invalid(self):
+        pts = jnp.array([[[[0.0, 0.0, -1.0]]]])  # (1,1,1,3), z < 0
+        _, valid = camera.project(pts, K)
+        assert not bool(valid[0, 0, 0])
+
+    def test_scale_intrinsics(self):
+        K2 = camera.scale_intrinsics(K, 0.5, 0.25)
+        np.testing.assert_allclose(K2[0, 0], K[0, 0] * 0.5)
+        np.testing.assert_allclose(K2[1, 1], K[1, 1] * 0.25)
+        np.testing.assert_allclose(K2[0, 2], K[0, 2] * 0.5)
+        np.testing.assert_allclose(K2[1, 2], K[1, 2] * 0.25)
+        np.testing.assert_allclose(K2[2, 2], 1.0)
+
+    def test_transform_points_identity(self, rng):
+        pts = jnp.asarray(rng.normal(size=(1, H, W, 3)), jnp.float32)
+        out = camera.transform_points(pts, jnp.eye(4))
+        np.testing.assert_allclose(out, pts, atol=1e-6)
+
+
+class TestBilinearSample:
+    def test_identity_coords_reproduce_image(self, rng):
+        img = _image(rng)
+        grid = camera.pixel_grid(H, W)[None, ..., :2]
+        out, valid = warp.bilinear_sample(img, grid)
+        np.testing.assert_allclose(out, img, atol=1e-5)
+        # Right/bottom edge footprint leaves the image -> invalid there.
+        assert bool(jnp.all(valid[:, : H - 1, : W - 1]))
+
+    def test_half_pixel_shift_averages(self):
+        img = jnp.arange(W, dtype=jnp.float32)[None, None, :, None]
+        img = jnp.broadcast_to(img, (1, H, W, 1))
+        grid = camera.pixel_grid(H, W)[None, ..., :2] + jnp.array([0.5, 0.0])
+        out, valid = warp.bilinear_sample(img, grid)
+        interior = np.asarray(out[0, :, : W - 1, 0])
+        expected = np.arange(W - 1, dtype=np.float32) + 0.5
+        np.testing.assert_allclose(interior, np.broadcast_to(expected, (H, W - 1)), atol=1e-5)
+
+    def test_out_of_bounds_masked(self, rng):
+        img = _image(rng)
+        coords = jnp.full((1, H, W, 2), -10.0)
+        _, valid = warp.bilinear_sample(img, coords)
+        assert not bool(jnp.any(valid))
+
+    def test_grads_wrt_coords_match_fd(self, rng):
+        img = _image(rng, c=1)
+        c0 = jnp.asarray(
+            np.stack(
+                [
+                    rng.uniform(1.0, W - 2.0, size=(1, 4, 4)),
+                    rng.uniform(1.0, H - 2.0, size=(1, 4, 4)),
+                ],
+                axis=-1,
+            ),
+            jnp.float32,
+        )
+        # Keep sample points away from integer coords where bilinear
+        # interpolation is non-differentiable (kinks).
+        c0 = jnp.floor(c0) + 0.37
+
+        def f(c):
+            out, _ = warp.bilinear_sample(img, c)
+            return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+        g = jax.grad(f)(c0)
+        eps = 1e-2
+        for idx in [(0, 0, 0, 0), (0, 1, 2, 1), (0, 3, 3, 0)]:
+            d = np.zeros(c0.shape, np.float32)
+            d[idx] = eps
+            fd = (f(c0 + d) - f(c0 - d)) / (2 * eps)
+            np.testing.assert_allclose(g[idx], fd, rtol=2e-2, atol=1e-3)
+
+    def test_grads_wrt_image(self, rng):
+        img = _image(rng, c=1)
+        grid = camera.pixel_grid(H, W)[None, ..., :2] + 0.3
+
+        def f(im):
+            out, _ = warp.bilinear_sample(im, grid)
+            return jnp.sum(out**2)
+
+        g = jax.grad(f)(img)
+        assert bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.max(jnp.abs(g))) > 0
+
+
+class TestInverseWarp:
+    def test_identity_transform_reproduces_image(self, rng):
+        img = _image(rng)
+        depth = jnp.full((1, H, W), 5.0)
+        out, valid = warp.inverse_warp(img, depth, jnp.eye(4)[None], K)
+        np.testing.assert_allclose(
+            np.asarray(out)[np.asarray(valid)], np.asarray(img)[np.asarray(valid)], atol=1e-4
+        )
+        # Last row/col footprints exit the image: valid ~= (H-1)(W-1)/(HW).
+        assert float(jnp.mean(valid)) > 0.85
+
+    def test_pure_x_translation_shifts_image(self, rng):
+        """Camera translates +x by t; at constant depth d the image shifts
+        by fx*t/d pixels. Checks the full backproject->transform->project->
+        sample chain against the closed form."""
+        img = _image(rng)
+        d = 5.0
+        t = 0.5
+        fx = float(K[0, 0])
+        shift = fx * t / d  # = 3 px for fx=30, t=0.5, d=5
+        depth = jnp.full((1, H, W), d)
+        T = jnp.eye(4).at[0, 3].set(t)[None]  # target->source: +x translation
+        out, valid = warp.inverse_warp(img, depth, T, K)
+        # warped(u) = src(u + shift)
+        expected, _ = warp.bilinear_sample(
+            img, camera.pixel_grid(H, W)[None, ..., :2] + jnp.array([shift, 0.0])
+        )
+        v = np.asarray(valid)
+        np.testing.assert_allclose(np.asarray(out)[v], np.asarray(expected)[v], atol=1e-3)
+        assert v.mean() > 0.5
+
+    def test_synthetic_scene_warp_consistency(self, rng):
+        """Render a textured fronto-parallel plane from two poses; warping
+        view B into view A with the true depth and pose must reproduce
+        view A on the valid mask. This is the end-to-end correctness gate
+        for the geometry chain (SURVEY.md §7 build order step 1)."""
+        tex = _image(rng, c=3)  # acts as the plane's texture == view A
+        d = 4.0
+        depth_a = jnp.full((1, H, W), d)
+        # Pose: translate camera by small (tx, ty, tz) with tiny rotation.
+        xi = jnp.array([0.2, -0.1, 0.15, 0.01, -0.02, 0.005])[None]
+        T_ab = se3.exp(xi)  # A-cam -> B-cam
+        # Build view B by warping A with the inverse transform: for a plane
+        # at constant depth the mapping is a homography; we synthesize B by
+        # sampling A at coords given by projecting B's backprojection
+        # through T_ba into A. depth of the plane in B frame:
+        pts_a = camera.backproject(depth_a, K)
+        pts_b = camera.transform_points(pts_a, T_ab)
+        coords_b, _ = camera.project(pts_b, K)
+        # view B = scatter of A... instead use inverse mapping: sample A at
+        # the location that projects to each B pixel. For the test, take
+        # depth in B as z of transformed points resampled at B's grid —
+        # approximate by warping: B(u) = A(H^{-1} u). Compute via inverse_warp
+        # with T_ba and per-pixel depth in B.
+        depth_b_scatter = pts_b[..., 2]
+        # Plane stays ~fronto-parallel (tiny rotation): approximate B depth
+        # by its mean (error << bilinear tolerance for this pose).
+        depth_b = jnp.full((1, H, W), float(jnp.mean(depth_b_scatter)))
+        view_b, valid_b = warp.inverse_warp(tex, depth_b, se3.inverse(T_ab), K)
+        # Now warp B back into A with the forward transform and A's depth.
+        recon_a, valid_a = warp.inverse_warp(view_b, depth_a, T_ab, K)
+        both = np.asarray(valid_a) & np.asarray(valid_b)
+        assert both.mean() > 0.4
+        err = np.abs(np.asarray(recon_a) - np.asarray(tex))[both]
+        assert err.mean() < 0.08  # bilinear + plane-depth approx tolerance
+
+    def test_grads_flow_to_depth_and_pose(self, rng):
+        img = _image(rng)
+        depth = jnp.full((1, H, W), 5.0)
+        xi = jnp.array([0.1, 0.0, 0.05, 0.0, 0.01, 0.0])
+
+        def loss(depth, xi):
+            out, valid = warp.inverse_warp(img, depth, se3.exp(xi)[None], K)
+            return jnp.sum(jnp.where(valid[..., None], out, 0.0) ** 2)
+
+        gd, gx = jax.grad(loss, argnums=(0, 1))(depth, xi)
+        assert bool(jnp.all(jnp.isfinite(gd))) and bool(jnp.all(jnp.isfinite(gx)))
+        assert float(jnp.max(jnp.abs(gd))) > 0
+        assert float(jnp.max(jnp.abs(gx))) > 0

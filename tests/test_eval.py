@@ -1,0 +1,123 @@
+"""Tests for the eval suites: metric closed forms, pose-convention locks
+(SURVEY.md §7 hard parts: trajectory composition conventions), and the
+KITTI devkit metric logic on synthetic trajectories."""
+
+import numpy as np
+import pytest
+
+from depthvo_tpu.eval.depth_metrics import compute_depth_metrics, eigen_crop_mask
+from depthvo_tpu.eval.odometry import (
+    align_scale,
+    ate,
+    compose_trajectory,
+    kitti_odometry_errors,
+    write_kitti_poses,
+)
+from depthvo_tpu.geometry import se3
+import jax.numpy as jnp
+
+
+class TestDepthMetrics:
+    def test_perfect_prediction_zero_error(self, rng):
+        gt = rng.uniform(1.0, 60.0, size=(4, 50, 100)).astype(np.float32)
+        m = compute_depth_metrics(list(gt), list(gt))
+        assert m["abs_rel"] == pytest.approx(0.0, abs=1e-7)
+        assert m["rmse"] == pytest.approx(0.0, abs=1e-5)
+        assert m["a1"] == 1.0
+
+    def test_constant_scale_error_with_median_scaling_vanishes(self, rng):
+        gt = rng.uniform(1.0, 60.0, size=(2, 50, 100)).astype(np.float32)
+        preds = [0.5 * g for g in gt]  # scale error only
+        m = compute_depth_metrics(preds, list(gt), median_scale=True)
+        assert m["abs_rel"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_known_relative_error(self):
+        gt = np.full((1, 60, 120), 10.0, np.float32)
+        pred = np.full((1, 60, 120), 11.0, np.float32)
+        m = compute_depth_metrics([pred[0]], [gt[0]], median_scale=False)
+        assert m["abs_rel"] == pytest.approx(0.1, abs=1e-6)
+        assert m["rmse"] == pytest.approx(1.0, abs=1e-5)
+        assert m["a1"] == 1.0  # 1.1 < 1.25
+
+    def test_depth_cap_excludes_far_points(self):
+        gt = np.full((1, 60, 120), 100.0, np.float32)
+        gt[0, 30:, :] = 10.0
+        pred = np.full((1, 60, 120), 10.0, np.float32)
+        # 100m points excluded by the 80m cap -> perfect on the rest
+        m = compute_depth_metrics([pred[0]], [gt[0]], max_depth=80.0, median_scale=False)
+        assert m["abs_rel"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_garg_crop_region(self):
+        mask = eigen_crop_mask(375, 1242)
+        assert mask[200, 600]
+        assert not mask[100, 600]  # above crop (sky region)
+        assert not mask[200, 10]  # left margin
+
+
+class TestTrajectory:
+    def _straight_line_transforms(self, n, step=1.0):
+        """Camera moves forward +z by `step` per frame. Coordinate transform
+        frame t -> t+1: points shift by -step in z... wait: source cam is
+        `step` ahead, so X_{t+1} = X_t - step*z. Twist v=(0,0,-step)."""
+        T = np.eye(4, dtype=np.float64)
+        T[2, 3] = -step
+        return np.tile(T, (n, 1, 1))
+
+    def test_compose_straight_line(self):
+        rel = self._straight_line_transforms(10)
+        poses = compose_trajectory(rel)
+        assert poses.shape == (11, 4, 4)
+        # cam-to-world: camera k at z = +k
+        np.testing.assert_allclose(poses[10][:3, 3], [0, 0, 10.0], atol=1e-9)
+
+    def test_compose_matches_se3_exp_convention(self):
+        """Lock the convention: compose_trajectory(exp(twist)) with twist
+        predicting 'points move by -v' gives camera motion +v."""
+        twist = jnp.array([[0.0, 0.0, -0.5, 0.0, 0.0, 0.0]] * 4)
+        rel = np.asarray(se3.exp(twist))
+        poses = compose_trajectory(rel)
+        np.testing.assert_allclose(poses[-1][:3, 3], [0, 0, 2.0], atol=1e-5)
+
+    def test_ate_zero_for_identical(self):
+        rel = self._straight_line_transforms(20)
+        poses = compose_trajectory(rel)
+        assert ate(poses, poses) == pytest.approx(0.0, abs=1e-9)
+
+    def test_ate_scale_alignment(self):
+        rel = self._straight_line_transforms(20)
+        poses = compose_trajectory(rel)
+        scaled = poses.copy()
+        scaled[:, :3, 3] *= 0.5  # half-scale trajectory
+        assert ate(scaled, poses, scale_align=True) == pytest.approx(0.0, abs=1e-9)
+        assert ate(scaled, poses, scale_align=False) > 1.0
+
+    def test_align_scale(self):
+        rel = self._straight_line_transforms(20)
+        poses = compose_trajectory(rel)
+        scaled = poses.copy()
+        scaled[:, :3, 3] *= 0.25
+        assert align_scale(scaled, poses) == pytest.approx(4.0, rel=1e-6)
+
+    def test_kitti_errors_zero_for_perfect(self):
+        rel = self._straight_line_transforms(300, step=2.0)  # 600 m path
+        poses = compose_trajectory(rel)
+        m = kitti_odometry_errors(poses, poses, lengths=(100, 200), step=10)
+        assert m["t_err_pct"] == pytest.approx(0.0, abs=1e-9)
+        assert m["r_err_deg_per_100m"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_kitti_errors_detect_drift(self):
+        rel = self._straight_line_transforms(300, step=2.0)
+        gt = compose_trajectory(rel)
+        # Predicted trajectory drifts: 1% longer steps.
+        rel_bad = self._straight_line_transforms(300, step=2.02)
+        pred = compose_trajectory(rel_bad)
+        m = kitti_odometry_errors(pred, gt, lengths=(100, 200), step=10)
+        assert m["t_err_pct"] == pytest.approx(1.0, rel=0.1)
+
+    def test_write_kitti_poses_roundtrip(self, tmp_path):
+        rel = self._straight_line_transforms(5)
+        poses = compose_trajectory(rel)
+        path = str(tmp_path / "poses.txt")
+        write_kitti_poses(poses, path)
+        raw = np.loadtxt(path).reshape(-1, 3, 4)
+        np.testing.assert_allclose(raw, poses[:, :3, :4], rtol=1e-6)

@@ -1,0 +1,74 @@
+"""Model shape/contract tests for the three networks (SURVEY.md §0)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depthvo_tpu.models import DepthNet, FeatNet, OdomNet
+
+H, W = 32, 96  # divisible by 32 (encoder stride) — tiny test shapes
+
+
+class TestDepthNet:
+    def test_multiscale_output_shapes(self):
+        net = DepthNet(num_scales=4)
+        x = jnp.zeros((2, H, W, 3))
+        variables = net.init(jax.random.PRNGKey(0), x)
+        disps = net.apply(variables, x)
+        assert len(disps) == 4
+        expected = [(2, H // 8, W // 8, 1), (2, H // 4, W // 4, 1),
+                    (2, H // 2, W // 2, 1), (2, H, W, 1)]
+        assert [d.shape for d in disps] == expected
+
+    def test_disp_bounds(self):
+        net = DepthNet(max_disp=0.3, min_disp=0.00625)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(1, H, W, 3)), jnp.float32)
+        variables = net.init(jax.random.PRNGKey(0), x)
+        for d in net.apply(variables, x):
+            assert float(d.min()) >= 0.00625
+            assert float(d.max()) <= 0.30625
+            assert d.dtype == jnp.float32
+
+    def test_bfloat16_compute(self):
+        net = DepthNet(compute_dtype=jnp.bfloat16)
+        x = jnp.zeros((1, H, W, 3))
+        variables = net.init(jax.random.PRNGKey(0), x)
+        disps = net.apply(variables, x)
+        assert disps[-1].dtype == jnp.float32  # heads return f32
+        # params stay f32
+        leaves = jax.tree.leaves(variables["params"])
+        assert all(l.dtype == jnp.float32 for l in leaves)
+
+    def test_train_mode_updates_batch_stats(self):
+        net = DepthNet()
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, H, W, 3)), jnp.float32)
+        variables = net.init(jax.random.PRNGKey(0), x)
+        _, mut = net.apply(variables, x, train=True, mutable=["batch_stats"])
+        before = jax.tree.leaves(variables["batch_stats"])
+        after = jax.tree.leaves(mut["batch_stats"])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
+        )
+
+
+class TestOdomNet:
+    def test_output_shape_and_scale(self):
+        net = OdomNet()
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(3, H, W, 6)), jnp.float32)
+        variables = net.init(jax.random.PRNGKey(0), x)
+        twist = net.apply(variables, x)
+        assert twist.shape == (3, 6)
+        assert twist.dtype == jnp.float32
+        # output_scale keeps the init near identity
+        assert float(jnp.abs(twist).max()) < 0.5
+
+
+class TestFeatNet:
+    def test_normalized_dense_features(self):
+        net = FeatNet(out_features=16)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, H, W, 3)), jnp.float32)
+        variables = net.init(jax.random.PRNGKey(0), x)
+        f = net.apply(variables, x)
+        assert f.shape == (2, H, W, 16)
+        norms = np.linalg.norm(np.asarray(f), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)
