@@ -71,13 +71,21 @@ def read_raw_calib(calib_path: str) -> Dict[str, np.ndarray]:
 
 
 def read_odometry_calib(calib_path: str) -> np.ndarray:
-    """Parse KITTI odometry calib.txt -> left-cam intrinsics K (3,3)."""
+    """Parse KITTI odometry calib.txt -> left-cam intrinsics K (3,3).
+
+    Prefers P2 (left color camera, the one image_2 frames come from);
+    falls back to P0 (left gray) for sequences without color calib.
+    """
+    mats: Dict[str, np.ndarray] = {}
     with open(calib_path) as f:
         for line in f:
-            if line.startswith("P2:") or line.startswith("P0:"):
+            key = line.split(":", 1)[0].strip()
+            if key in ("P0", "P2"):
                 vals = np.array([float(x) for x in line.split()[1:]], np.float32)
-                P = vals.reshape(3, 4)
-                return P[:, :3].copy()
+                mats[key] = vals.reshape(3, 4)[:, :3].copy()
+    for key in ("P2", "P0"):
+        if key in mats:
+            return mats[key]
     raise ValueError(f"no projection matrix found in {calib_path}")
 
 

@@ -1,0 +1,137 @@
+"""Tests for the KITTI readers over synthetic fixture trees (the standard
+KITTI directory layouts, tiny images) — exercising list building, calib
+parsing, intrinsics scaling, pairing, and the end-to-end odometry eval
+runner (SURVEY.md §3.3/§3.4)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from depthvo_tpu.data import kitti
+
+
+def _write_png(path, h=40, w=128, seed=0):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture(scope="module")
+def raw_tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti_raw"))
+    date = "2011_09_26"
+    drive = "2011_09_26_drive_0001_sync"
+    for cam in ("image_02", "image_03"):
+        for i in range(5):
+            _write_png(
+                os.path.join(root, date, drive, cam, "data", f"{i:010d}.png"),
+                seed=i,
+            )
+    # Minimal calib_cam_to_cam.txt with P_rect_02.
+    P = "7.2e+02 0.0 6.0e+02 0.0 0.0 7.2e+02 1.8e+02 0.0 0.0 0.0 1.0 0.0"
+    with open(os.path.join(root, date, "calib_cam_to_cam.txt"), "w") as f:
+        f.write("calib_time: 09-Jan-2012 13:57:47\n")
+        f.write(f"P_rect_02: {P}\n")
+    return root, drive
+
+
+@pytest.fixture(scope="module")
+def odom_tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti_odom"))
+    seq = "09"
+    n = 12
+    for i in range(n):
+        _write_png(
+            os.path.join(root, "sequences", seq, "image_2", f"{i:06d}.png"),
+            seed=100 + i,
+        )
+    with open(os.path.join(root, "sequences", seq, "calib.txt"), "w") as f:
+        f.write("P0: 7.1e+02 0.0 6.0e+02 0.0 0.0 7.1e+02 1.8e+02 0.0 0.0 0.0 1.0 0.0\n")
+        f.write("P2: 7.2e+02 0.0 6.1e+02 0.0 0.0 7.3e+02 1.9e+02 0.0 0.0 0.0 1.0 0.0\n")
+    # Ground truth: straight line, 0.8 m forward per frame.
+    os.makedirs(os.path.join(root, "poses"), exist_ok=True)
+    with open(os.path.join(root, "poses", seq + ".txt"), "w") as f:
+        for i in range(n):
+            T = np.eye(4)[:3, :4].copy()
+            T[2, 3] = 0.8 * i
+            f.write(" ".join(str(x) for x in T.reshape(-1)) + "\n")
+    return root, seq
+
+
+class TestRawStereo:
+    def test_sample_list_and_shapes(self, raw_tree):
+        root, drive = raw_tree
+        ds = kitti.KittiRawStereo(root, [drive], height=16, width=48)
+        assert len(ds) == 4  # 5 frames -> 4 temporal pairs
+        sample = ds.get(0)
+        assert sample["image_t"].shape == (16, 48, 3)
+        assert sample["image_r"].shape == (16, 48, 3)
+        assert sample["image_s"].shape == (16, 48, 3)
+        assert sample["K"].shape == (3, 3)
+        assert -1.0 <= sample["image_t"].min() <= sample["image_t"].max() <= 1.0
+
+    def test_intrinsics_scaled_to_output(self, raw_tree):
+        root, drive = raw_tree
+        ds = kitti.KittiRawStereo(root, [drive], height=16, width=48)
+        K = ds.samples[0][3]
+        # fx scaled by 48/1242, cx likewise.
+        assert K[0, 0] == pytest.approx(720.0 * 48 / 1242, rel=1e-5)
+        assert K[1, 1] == pytest.approx(720.0 * 16 / 375, rel=1e-5)
+        assert K[2, 2] == 1.0
+
+    def test_iterator_batches(self, raw_tree):
+        root, drive = raw_tree
+        ds = kitti.KittiRawStereo(root, [drive], height=16, width=48)
+        it = ds.iterator(batch_size=2, shuffle=True, seed=1)
+        batch = next(it)
+        assert batch["image_t"].shape == (2, 16, 48, 3)
+        assert batch["K"].shape == (2, 3, 3)
+
+    def test_missing_drive_skipped(self, raw_tree):
+        root, drive = raw_tree
+        ds = kitti.KittiRawStereo(root, [drive, "2011_09_26_drive_9999_sync"], 16, 48)
+        assert len(ds) == 4
+
+
+class TestOdometrySequence:
+    def test_frames_calib_poses(self, odom_tree):
+        root, seq = odom_tree
+        s = kitti.KittiOdometrySequence(root, seq, height=16, width=48)
+        assert len(s) == 12
+        assert s.frame(0).shape == (16, 48, 3)
+        assert s.K[0, 0] == pytest.approx(720.0 * 48 / 1241, rel=1e-4)
+        assert s.gt_poses.shape == (12, 4, 4)
+        np.testing.assert_allclose(s.gt_poses[3][2, 3], 2.4)
+
+    def test_pair_iterator(self, odom_tree):
+        root, seq = odom_tree
+        s = kitti.KittiOdometrySequence(root, seq, height=16, width=48)
+        batches = list(s.pair_iterator(batch_size=4))
+        total = sum(len(b) for b in batches)
+        assert total == 11  # N-1 pairs
+        assert batches[0].shape == (4, 16, 48, 6)
+        # First pair is frames (0, 1): channels 0-3 match frame 0.
+        np.testing.assert_allclose(batches[0][0][..., :3], s.frame(0), atol=1e-6)
+        np.testing.assert_allclose(batches[0][0][..., 3:], s.frame(1), atol=1e-6)
+
+
+class TestOdometryEvalRunner:
+    def test_end_to_end_random_model(self, odom_tree, tmp_path):
+        """Full eval path on the fixture sequence with a random model:
+        trajectory composed, pose file written, metrics + ATE computed."""
+        from depthvo_tpu import configs
+        from depthvo_tpu.eval.runner import run_odometry_eval
+
+        root, seq = odom_tree
+        out = str(tmp_path / "odom")
+        metrics = run_odometry_eval(
+            checkpoint_dir=None, kitti_odom_root=root, sequence=seq,
+            output_dir=out, height=32, width=96,
+        )
+        assert metrics["frames"] == 12
+        assert np.isfinite(metrics["ate_m"])
+        poses = np.loadtxt(os.path.join(out, f"{seq}.txt"))
+        assert poses.shape == (12, 12)
