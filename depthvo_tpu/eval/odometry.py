@@ -138,3 +138,32 @@ def write_kitti_poses(poses: np.ndarray, path: str) -> None:
     with open(path, "w") as f:
         for T in poses:
             f.write(" ".join(f"{x:.9e}" for x in T[:3, :4].reshape(-1)) + "\n")
+
+
+def plot_trajectory(
+    pred_poses: np.ndarray,
+    gt_poses: np.ndarray | None,
+    path: str,
+    title: str = "",
+) -> None:
+    """Bird's-eye (x-z) trajectory plot — the reference eval's matplotlib
+    output (SURVEY.md §3.3 'trajectory plots')."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    p = np.asarray(pred_poses)[:, :3, 3]
+    ax.plot(p[:, 0], p[:, 2], label="prediction")
+    if gt_poses is not None:
+        g = np.asarray(gt_poses)[:, :3, 3]
+        ax.plot(g[:, 0], g[:, 2], label="ground truth", linestyle="--")
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("z (m)")
+    ax.set_aspect("equal")
+    ax.legend()
+    if title:
+        ax.set_title(title)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)

@@ -129,8 +129,16 @@ def run_odometry_eval(
     seq = KittiOdometrySequence(kitti_odom_root, sequence, height, width)
     poses = predict_trajectory(model, seq)
     if output_dir:
+        from depthvo_tpu.eval.odometry import plot_trajectory
+
         os.makedirs(output_dir, exist_ok=True)
         write_kitti_poses(poses, os.path.join(output_dir, f"{sequence}.txt"))
+        plot_trajectory(
+            poses,
+            seq.gt_poses,
+            os.path.join(output_dir, f"{sequence}.png"),
+            title=f"seq {sequence}",
+        )
     result: Dict[str, float] = {"sequence": sequence, "frames": len(seq)}
     if seq.gt_poses is not None:
         result.update(kitti_odometry_errors(poses, seq.gt_poses))

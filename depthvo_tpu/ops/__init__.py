@@ -1,34 +1,66 @@
-"""Hot-path ops: the fused inverse-warp kernel dispatch.
+"""Hot-path ops: warp kernels and dispatch.
 
-``fused_warp`` is the single custom hot op of the framework (SURVEY.md
-§2b(i)): backproject -> rigid transform -> pinhole project -> bilinear
-sample, shared by the photometric and feature reconstruction losses.
+The inverse warp is the framework's one custom hot op (SURVEY.md §2b(i):
+backproject -> rigid transform -> project -> bilinear sample, shared by
+the photometric and feature-reconstruction losses). Two paths:
 
-Dispatch policy: the Pallas TPU kernel (``warp_pallas``) when running on
-TPU and shapes qualify; the pure-jnp reference path (``geometry.warp``)
-otherwise. Both implement identical semantics and are golden-tested
-against each other (tests/test_warp_pallas.py).
+* ``stereo_warp`` — rectified-stereo (epipolar-horizontal) warping via
+  the Pallas kernel in ``warp_pallas`` (exact; ~10x the XLA gather path
+  on TPU). Used by the stereo photometric loss at every scale.
+* ``fused_warp`` — general 2D warping; stays on the XLA gather path
+  (``geometry.warp.inverse_warp``). A general Pallas kernel requires
+  per-output-row processing (the 2D gather does not decompose into
+  per-axis vector gathers) — future work; see warp_pallas module doc.
 """
 
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from depthvo_tpu.geometry import warp as _ref_warp
 
 
 def fused_warp(src, depth, T, K, use_pallas: bool | None = None):
-    """Inverse-warp ``src`` into the target view. See geometry.warp.inverse_warp.
+    """General inverse warp. See geometry.warp.inverse_warp.
+
+    ``use_pallas`` is accepted for API stability; the general case
+    currently always runs the XLA path (see module doc).
+    """
+    del use_pallas
+    return _ref_warp.inverse_warp(src, depth, T, K)
+
+
+def stereo_warp(src, depth, fx_baseline, use_pallas: bool | None = None):
+    """Rectified-stereo inverse warp (sample ``src`` at x - fx*b/depth).
 
     Args:
-      use_pallas: force the kernel path (True), the jnp path (False), or
-        auto-select by backend (None).
+      src: (B, H, W, C) the other stereo view.
+      depth: (B, H, W) or (B, H, W, 1) target-view depth.
+      fx_baseline: scalar or (B,) fx * baseline (pixels * meters / meter).
+      use_pallas: force the kernel (True) / the jnp path (False) / pick
+        by backend (None).
+
+    Returns (warped, valid).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        from depthvo_tpu.ops import warp_pallas
+    from depthvo_tpu.ops import warp_pallas
 
-        if warp_pallas.supported(src, depth):
-            return warp_pallas.fused_warp_pallas(src, depth, T, K)
-    return _ref_warp.inverse_warp(src, depth, T, K)
+    if use_pallas and warp_pallas.supported(src):
+        return warp_pallas.stereo_warp(src, depth, fx_baseline)
+    # jnp fallback: same math through the reference bilinear sampler.
+    B, H, W, C = src.shape
+    if depth.ndim == 4:
+        depth = depth[..., 0]
+    disparity = jnp.reshape(jnp.asarray(fx_baseline, jnp.float32), (-1, 1, 1)) / depth
+    cols = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    rows = jnp.broadcast_to(
+        jnp.arange(H, dtype=jnp.float32)[None, :, None], depth.shape
+    )
+    u = cols - disparity
+    coords = jnp.stack([u, rows], axis=-1)
+    warped, in_bounds = _ref_warp.bilinear_sample(src, coords)
+    # bilinear_sample's footprint check already excludes the last row
+    # (v0+1 == H), matching the kernel path's mask semantics.
+    return warped, in_bounds & (depth > 0)

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from depthvo_tpu import ops
 from depthvo_tpu.configs.base import ExperimentConfig
 from depthvo_tpu.geometry import se3, warp as geo_warp
 from depthvo_tpu.geometry.camera import scale_intrinsics
@@ -98,10 +99,6 @@ def compute_losses(
         T_ts = se3.exp(twist)  # target-cam -> source-cam
         metrics["twist_norm"] = jnp.mean(jnp.linalg.norm(twist, axis=-1))
 
-    T_lr = (
-        stereo_transform(B, config.stereo_baseline) if config.use_stereo else None
-    )
-
     # --- multi-scale photometric + smoothness ---
     n_scales = len(disps)
     stereo_total = jnp.zeros((), jnp.float32)
@@ -118,7 +115,11 @@ def compute_losses(
                 if (h, w) == (H, W)
                 else resize_bilinear(batch["image_r"], h, w)
             )
-            warped, valid = geo_warp.inverse_warp(img_r, depth, T_lr, Ks)
+            # Rectified-stereo warp: epipolar-horizontal specialization
+            # (Pallas kernel on TPU) — same math as inverse_warp with
+            # T_lr = [I | (-b, 0, 0)].
+            fxb = Ks[..., 0, 0] * config.stereo_baseline
+            warped, valid = ops.stereo_warp(img_r, depth, fxb)
             stereo_total += photometric_loss(
                 warped, img_t, valid, config.ssim_weight
             )
@@ -208,6 +209,57 @@ def make_train_step(
     )
 
 
+def make_scan_train_step(config: ExperimentConfig, mesh=None, steps_per_call: int = 8):
+    """Multiple optimizer steps per dispatch via ``lax.scan``.
+
+    The reference pays a Python->C++ transition per Caffe iteration
+    (SURVEY.md §3.1); a naive port pays a host->device dispatch per step,
+    which on a remote/tunneled TPU dominates wall clock. Scanning K steps
+    inside one jitted call keeps the device busy: the host stacks K
+    batches, one dispatch runs K fwd+bwd+update iterations on-device.
+
+    The returned fn maps (state, stacked_batch[K, ...]) -> (state, metrics
+    of the last step).
+    """
+    models = build_models(config)
+    tx = make_optimizer(config)
+
+    def multi_step(state: TrainState, batches):
+        def body(st, batch):
+            def loss_fn(params):
+                return compute_losses(
+                    config, models, params, st.batch_stats, batch, train=True
+                )
+
+            grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(st.params)
+            new_st = st.apply_gradients(
+                grads=grads, new_batch_stats=new_bs, tx=tx
+            )
+            metrics["grad/global_norm"] = _global_norm(grads)
+            return new_st, metrics
+
+        state, metrics = jax.lax.scan(body, state, batches)
+        last = jax.tree.map(lambda m: m[-1], metrics)
+        return state, last
+
+    if mesh is None:
+        return jax.jit(multi_step, donate_argnums=0)
+    repl = pmesh.replicated(mesh)
+    return jax.jit(
+        multi_step,
+        donate_argnums=0,
+        in_shardings=(repl, None),
+        out_shardings=(repl, repl),
+    )
+
+
+def stack_batches(batches):
+    """Stack K host batches (list of dicts) into one [K, ...] pytree."""
+    return {
+        k: np.stack([b[k] for b in batches], axis=0) for k in batches[0]
+    }
+
+
 def _global_norm(tree) -> jax.Array:
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(
@@ -237,12 +289,17 @@ def fit(
     checkpoint_dir: str | None = None,
     log_fn: Callable[[int, Dict[str, float]], None] | None = None,
     state: TrainState | None = None,
+    steps_per_call: int = 1,
 ) -> TrainState:
     """Host training loop: the rebuild of ``Solver::Solve`` (SURVEY.md §3.1).
 
     Streams host batches onto the mesh, runs the jitted step, logs the
     separate loss terms (as the reference's solver display does), and
     snapshots via orbax every ``config.checkpoint_every`` steps.
+
+    ``steps_per_call > 1`` runs K optimizer steps per dispatch via
+    ``lax.scan`` (see make_scan_train_step) — use on remote/tunneled
+    devices where per-dispatch latency dominates.
     """
     if mesh is None:
         mesh = pmesh.make_mesh(1)
@@ -254,7 +311,10 @@ def fit(
 
             state = ckpt_io.restore_weights(config.init_from, state)
     state = jax.device_put(state, pmesh.replicated(mesh))
-    step_fn = make_train_step(config, mesh)
+    if steps_per_call > 1:
+        step_fn = make_scan_train_step(config, mesh, steps_per_call)
+    else:
+        step_fn = make_train_step(config, mesh)
 
     ckpt_mgr = None
     if checkpoint_dir is not None:
@@ -265,16 +325,36 @@ def fit(
 
     t0 = time.perf_counter()
     start_step = int(state.step)
-    for i in range(start_step, num_steps):
-        batch = pmesh.shard_batch(next(data_iter), mesh)
-        state, metrics = step_fn(state, batch)
-        if log_fn is not None and (i % config.log_every == 0 or i == num_steps - 1):
+    i = start_step
+    while i < num_steps:
+        k = min(steps_per_call, num_steps - i)
+        if steps_per_call > 1:
+            # Stack K host batches; a short trailing call pads by repeating
+            # the last batch (keeps one compiled shape; extra steps are
+            # real optimizer steps on repeated data, matching num_steps
+            # only approximately on the tail).
+            batches = [next(data_iter) for _ in range(k)]
+            while len(batches) < steps_per_call:
+                batches.append(batches[-1])
+            batch = pmesh.shard_batch(stack_batches(batches), mesh)
+            state, metrics = step_fn(state, batch)
+            i += steps_per_call
+        else:
+            batch = pmesh.shard_batch(next(data_iter), mesh)
+            state, metrics = step_fn(state, batch)
+            i += 1
+        last = i - 1
+        if log_fn is not None and (
+            last % config.log_every < (steps_per_call if steps_per_call > 1 else 1)
+            or i >= num_steps
+        ):
             metrics = jax.device_get(metrics)
             dt = time.perf_counter() - t0
-            metrics["steps_per_sec"] = (i - start_step + 1) / dt
-            log_fn(i, {k: float(v) for k, v in metrics.items()})
+            metrics["steps_per_sec"] = (i - start_step) / dt
+            log_fn(last, {k_: float(v) for k_, v in metrics.items()})
         if ckpt_mgr is not None and (
-            (i + 1) % config.checkpoint_every == 0 or i == num_steps - 1
+            (last + 1) % config.checkpoint_every < (steps_per_call if steps_per_call > 1 else 1)
+            or i >= num_steps
         ):
             from depthvo_tpu.io import checkpoint as ckpt_io
 
