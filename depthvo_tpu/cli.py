@@ -53,6 +53,12 @@ def cmd_train(args) -> int:
     from depthvo_tpu.parallel import mesh as pmesh
     from depthvo_tpu.train import loop as train_loop
 
+    if args.debug_nans:
+        # SURVEY.md §5 "race detection / sanitizers": the JAX-native
+        # equivalent — abort with a traceback at the first non-finite
+        # value produced inside the jitted step.
+        jax.config.update("jax_debug_nans", True)
+
     cfg = _make_config(args)
     if args.init_from:
         from depthvo_tpu import configs
@@ -87,6 +93,7 @@ def cmd_train(args) -> int:
     train_loop.fit(
         cfg, it, args.steps, mesh=mesh,
         checkpoint_dir=args.checkpoint_dir, log_fn=log,
+        steps_per_call=args.steps_per_call,
     )
     return 0
 
@@ -178,6 +185,10 @@ def main(argv=None) -> int:
     p.add_argument("--drives", default="")
     p.add_argument("--init-from", default=None,
                    help="previous stage checkpoint (staged finetune)")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="optimizer steps per dispatch (lax.scan)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="abort on the first non-finite value (diagnostics)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval-depth", help="Eigen-split depth metrics")

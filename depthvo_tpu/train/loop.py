@@ -218,6 +218,13 @@ def make_scan_train_step(config: ExperimentConfig, mesh=None, steps_per_call: in
     inside one jitted call keeps the device busy: the host stacks K
     batches, one dispatch runs K fwd+bwd+update iterations on-device.
 
+    Measured caveat (v5e, full_feat batch 4): inside ``lax.scan`` XLA
+    chose ~3x slower convolution schedules than the straight-line step
+    (loop-carry layout constraints), so for LARGE models sequential
+    dispatches win whenever per-dispatch latency < the scan slowdown.
+    Scan mode pays off for small models and high-latency links — measure
+    before enabling (``cli train --steps-per-call K``).
+
     The returned fn maps (state, stacked_batch[K, ...]) -> (state, metrics
     of the last step).
     """
