@@ -36,10 +36,10 @@ from depthvo_tpu.configs.base import ExperimentConfig
 from depthvo_tpu.geometry import se3, warp as geo_warp
 from depthvo_tpu.geometry.camera import scale_intrinsics
 from depthvo_tpu.losses import (
-    feature_reconstruction_loss,
     photometric_loss,
     smoothness_loss,
 )
+from depthvo_tpu.losses.photometric import masked_l1
 from depthvo_tpu.models.layers import resize_bilinear
 from depthvo_tpu.parallel import mesh as pmesh
 from depthvo_tpu.train.state import TrainState, build_models, create_state, make_optimizer
@@ -123,7 +123,7 @@ def compute_losses(
             stereo_total += photometric_loss(
                 warped, img_t, valid, config.ssim_weight
             )
-        if config.use_temporal:
+        if config.use_temporal and not ((h, w) == (H, W) and config.use_feature):
             img_s = (
                 batch["image_s"]
                 if (h, w) == (H, W)
@@ -137,6 +137,38 @@ def compute_losses(
             disp, img_t, edge_aware=config.edge_aware_smoothness
         ) / (2.0**(n_scales - 1 - i))
 
+    # --- finest-scale temporal + feature reconstruction, fused warp ---
+    # Both losses sample the source view at IDENTICAL coordinates (same
+    # depth, pose, intrinsics), and the gather cost is per-index, not
+    # per-channel: concatenating RGB + feature channels into ONE warp
+    # halves the gather work in both forward and backward — exact, free.
+    feat_loss = None
+    if config.use_temporal and config.use_feature:
+        feat_params = params["feat"]
+        if not config.train_feat:
+            feat_params = jax.lax.stop_gradient(feat_params)
+        feat_t = feat_net.apply({"params": feat_params}, image_t, train=False)
+        feat_s = feat_net.apply(
+            {"params": feat_params}, batch["image_s"], train=False
+        )
+        depth_full = 1.0 / disps[-1][..., 0]
+        payload = jnp.concatenate(
+            [batch["image_s"], feat_s.astype(batch["image_s"].dtype)], axis=-1
+        )
+        warped, valid = geo_warp.inverse_warp(payload, depth_full, T_ts, K)
+        temporal_total += photometric_loss(
+            warped[..., :3], image_t, valid, config.ssim_weight
+        )
+        feat_loss = config.feature_weight * masked_l1(
+            warped[..., 3:].astype(jnp.float32), feat_t, valid
+        )
+    elif config.use_feature:
+        raise ValueError(
+            "use_feature requires use_temporal (the feature loss warps "
+            "with the predicted pose) — matching the reference's staged "
+            "recipe (SURVEY.md §0)"
+        )
+
     if config.use_stereo:
         stereo_loss = config.stereo_weight * stereo_total / n_scales
         metrics["loss/stereo"] = stereo_loss
@@ -148,21 +180,7 @@ def compute_losses(
     smooth_loss = config.smooth_weight * smooth_total / n_scales
     metrics["loss/smooth"] = smooth_loss
     total += smooth_loss
-
-    # --- feature reconstruction (finest scale; frozen feat net unless
-    # config.train_feat) ---
-    if config.use_feature:
-        feat_params = params["feat"]
-        if not config.train_feat:
-            feat_params = jax.lax.stop_gradient(feat_params)
-        feat_t = feat_net.apply({"params": feat_params}, image_t, train=False)
-        feat_s = feat_net.apply(
-            {"params": feat_params}, batch["image_s"], train=False
-        )
-        depth_full = 1.0 / disps[-1][..., 0]
-        feat_loss = config.feature_weight * feature_reconstruction_loss(
-            feat_s, feat_t, depth_full, T_ts, K
-        )
+    if feat_loss is not None:
         metrics["loss/feature"] = feat_loss
         total += feat_loss
 
