@@ -24,11 +24,36 @@ from depthvo_tpu.geometry import warp as _ref_warp
 def fused_warp(src, depth, T, K, use_pallas: bool | None = None):
     """General inverse warp. See geometry.warp.inverse_warp.
 
-    ``use_pallas`` is accepted for API stability; the general case
-    currently always runs the XLA path (see module doc).
+    ``use_pallas`` is accepted for API stability; the general
+    differentiated-source case always runs the XLA path (see module doc).
+    Callers whose source needs no gradient should use ``frozen_warp``.
     """
     del use_pallas
     return _ref_warp.inverse_warp(src, depth, T, K)
+
+
+def frozen_warp(src, depth, T, K, use_pallas: bool | None = None):
+    """General inverse warp of a NON-differentiated source.
+
+    The temporal photometric and (frozen-)feature losses warp constant
+    images, so their backward needs only d/d_coords — gather-shaped, no
+    scatter — which the Pallas candidate-row kernel computes ~an order of
+    magnitude faster than XLA's gather/scatter lowering. Gradients flow
+    to depth and pose; ``src`` receives none (stop_gradient applied).
+
+    Kernel mask addendum (TPU path): vertical displacement beyond
+    ``GEN_PAD_V - 1`` rows or horizontal beyond 127 px is invalid.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from depthvo_tpu.ops import warp_pallas
+
+        H = src.shape[1]
+        Hp = -(-H // 8) * 8
+        if src.ndim == 4 and Hp >= 2 * warp_pallas.GEN_PAD_V + 8:
+            return warp_pallas.general_warp_frozen_src(src, depth, T, K)
+    return _ref_warp.inverse_warp(jax.lax.stop_gradient(src), depth, T, K)
 
 
 def stereo_warp(src, depth, fx_baseline, use_pallas: bool | None = None):

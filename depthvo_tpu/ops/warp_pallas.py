@@ -1,38 +1,34 @@
-"""Pallas TPU kernel for epipolar-horizontal (rectified-stereo) warping.
+"""Pallas TPU kernels for inverse warping.
 
 Why: inverse warping (SURVEY.md §2b(i), the reference's custom CUDA
 layer) is gather-bound on TPU — XLA lowers image-wide gathers at ~30 ns
 per index (scalar-unit bound), ~11 ms for a batch-4 608x160 RGB warp,
 making the warp (not convolution) the hot op of training. Mosaic's
 ``tpu.dynamic_gather`` does an 8x128 *vector* gather per VPU op but only
-along one axis within a single vreg, so an efficient kernel must
-decompose the gather.
+along one axis within a single vreg, so efficient kernels must
+decompose the gather. A general 2D bilinear gather does NOT decompose
+into one vertical then one horizontal vector gather (the second gather
+evaluates the first coordinate at the wrong column), which shapes the
+two kernels here:
 
-A general 2D bilinear gather does NOT decompose into per-axis vector
-gathers: after a vertical gather keyed at output columns, a horizontal
-gather evaluates the vertical coordinate at the wrong column
-(src[v0[i, u0[i,j]], u0[i,j]] instead of src[v0[i,j], u0[i,j]]).
-The decomposition is exact precisely when v(y, x) == y — the rectified
-stereo case: the KITTI rig is rectified, so the stereo photometric loss
-(present in ALL three training stages, at every pyramid scale) samples
-along image rows only: u_src = u - fx*baseline/depth, v_src = v.
+1. **Rectified-stereo warp** (``stereo_warp``): v(y,x) == y exactly, so
+   the warp is a per-row horizontal resample — lane-block gathers with a
+   static disparity bound. Forward AND both backwards are kernels (the
+   d/d_src scatter becomes a shift-select sum thanks to the bound).
+   Used by the stereo photometric loss in every stage at every scale.
+   Measured ~9x XLA fwd+bwd, bit-exact.
 
-This module therefore provides:
-* ``horizontal_warp_pallas(src, u)`` — exact bilinear sampling of each
-  row at fractional column coordinates ``u`` (B, H, W), vectorized as
-  lane-block dynamic_gathers (ceil(W/128)^2 select-combos per row-tile).
-* ``stereo_warp(src, depth, fx_baseline)`` — the stereo inverse warp:
-  disparity = fx*baseline/depth, u = x - disparity, and its validity
-  mask, matching ``geometry.warp.inverse_warp`` with a pure-x-translation
-  transform bit-for-bit on valid pixels (golden-tested).
+2. **General warp, frozen source** (``general_warp_frozen_src``): per-
+   SOURCE-ROW candidates — for window row r, the horizontal resample
+   H_r[i,j] = lerp(table[r, u0[i,j]]) is keyed entirely at the output
+   pixel, and bilinear vertical taps select rows with v0==r / v0+1==r.
+   Candidates are @pl.when-predicated (a handful fire per row-tile for
+   rigid motion). The temporal/feature losses warp CONSTANT sources, so
+   no scatter-shaped d/d_src exists; the backward (d_u, d_v) reuses the
+   same candidate gathers. Measured ~3x XLA fwd+bwd, f32-exact.
 
-Gradients: custom VJP — d/du and d/dsrc computed by the jnp reference
-bilinear sample (XLA), so training semantics are unchanged; the kernel
-accelerates forwards (eval/serving and the train forward pass).
-
-The general (full 2D) warp stays on the XLA gather path
-(``geometry.warp.inverse_warp``); a correct general kernel needs
-per-output-row processing (future work — see the analysis above).
+Generic ``horizontal_warp_pallas(src, u)`` (unbounded columns, reference
+VJP) is kept for API completeness.
 """
 
 from __future__ import annotations
@@ -357,6 +353,235 @@ def _stereo_sample_bwd(dmax, res, g):
 
 
 _stereo_sample.defvjp(_stereo_sample_fwd, _stereo_sample_bwd)
+
+
+# --------------------------------------------------------------------------
+# General 2D warp with frozen source (gather-only gradients).
+#
+# A correct general kernel can't do one vertical then one horizontal
+# vector gather (the second gather evaluates the first coordinate at the
+# wrong column — see module doc). Instead, CANDIDATE VERTICAL OFFSETS:
+# for candidate window row-offset `off`, H_off[i,j] = window[off+i,
+# u0[i,j]] is a pure horizontal gather keyed at the output pixel, and the
+# true sample selects candidates where v0[i,j] - window_start - i == off.
+# For rigid driving-scene motion only a handful of candidates fire per
+# row-tile, so candidates are predicated with @pl.when on an any() probe.
+#
+# Gradients: the temporal/feature losses warp CONSTANT sources (the other
+# frame's pixels; frozen features), so no scatter-shaped d/d_src is ever
+# needed — the backward is d/d_coords only, the same bounded gathers.
+# ``general_warp_frozen_src`` therefore stops gradients to ``src``
+# (asserted by construction) and computes (d_u, d_v) with a second kernel.
+#
+# Window semantics (masked in `valid`): vertical displacement
+# |v - row| <= pad_v - 1 and horizontal displacement |u - col| <= 127.
+# --------------------------------------------------------------------------
+
+GEN_PAD_V = 16  # vertical half-window (rows; multiple of 8)
+
+
+def _gen_coords(u_ref, v_ref, s, rv, W):
+    u = u_ref[:]
+    v = v_ref[:]
+    u0f = jnp.floor(u)
+    v0f = jnp.floor(v)
+    au = u - u0f
+    av = v - v0f
+    u0 = jnp.clip(u0f.astype(jnp.int32), 0, W - 1)
+    dv = jnp.clip(v0f.astype(jnp.int32) - s, 0, rv - 2)
+    return u0, au, av, dv, dv + 1
+
+
+def _hgather_row(blk, blk_r, u0, ob, n_blocks):
+    """Taps (s0, s1) for output lane-block ``ob`` from a (8, W) plane and
+    its 1-lane-rotated twin, reading blocks [ob-1, ob+1] (|du| <= 127)."""
+    lo = ob * LANE
+    idx = u0[:, lo : lo + LANE]
+    s0 = jnp.zeros((TILE_ROWS, LANE), jnp.float32)
+    s1 = jnp.zeros((TILE_ROWS, LANE), jnp.float32)
+    for tb in range(max(0, ob - 1), min(n_blocks, ob + 2)):
+        tlo = tb * LANE
+        sel = (idx >= tlo) & (idx < tlo + LANE)
+        local = (idx - tlo) & (LANE - 1)
+        g0 = jnp.take_along_axis(blk[:, tlo : tlo + LANE], local, axis=1)
+        g1 = jnp.take_along_axis(blk_r[:, tlo : tlo + LANE], local, axis=1)
+        s0 = jnp.where(sel, g0, s0)
+        s1 = jnp.where(sel, g1, s1)
+    return s0, s1
+
+
+def _gen_row_candidates(table, table_r, u0, au, dv, dv1, rv, n_blocks, consume):
+    """Per-source-row candidates: for each window row r the horizontal
+    resample H_r[i,j] = lerp(table[r, u0[i,j]], table[r, u0[i,j]+1]) is
+    keyed entirely at the output pixel, and the true bilinear taps select
+    rows with dv == r (v0 tap) / dv+1 == r (v1 tap). Decoupled from the
+    output sublane index, so window clamping at image edges stays exact.
+
+    ``consume(h, slope, sel0, sel1, ob)`` receives, per output lane-block,
+    the interped row values, the horizontal lerp slope (s1-s0), and the
+    two vertical-tap selectors (float masks).
+    """
+    # dv in [0, rv-2], dv1 in [1, rv-1]: candidates span all rv rows.
+    for r in range(rv):
+        hit = jnp.any(dv == r) | jnp.any(dv1 == r)
+
+        @pl.when(hit)
+        def _(r=r):
+            blk = jnp.broadcast_to(table[r : r + 1, :], (TILE_ROWS, table.shape[1]))
+            blk_r = jnp.broadcast_to(
+                table_r[r : r + 1, :], (TILE_ROWS, table.shape[1])
+            )
+            for ob in range(n_blocks):
+                lo = ob * LANE
+                s0, s1 = _hgather_row(blk, blk_r, u0, ob, n_blocks)
+                a = au[:, lo : lo + LANE]
+                h = (1.0 - a) * s0 + a * s1
+                slope = s1 - s0
+                sel0 = (dv[:, lo : lo + LANE] == r).astype(jnp.float32)
+                sel1 = (dv1[:, lo : lo + LANE] == r).astype(jnp.float32)
+                consume(h, slope, sel0, sel1, ob)
+
+
+def _gen_fwd_kernel(src_ref, u_ref, v_ref, out_ref, *, rv, pad_v):
+    C, H, W = src_ref.shape
+    t = pl.program_id(1)
+    s = pl.multiple_of(jnp.clip(t * TILE_ROWS - pad_v, 0, H - rv), TILE_ROWS)
+    u0, au, av, dv, dv1 = _gen_coords(u_ref, v_ref, s, rv, W)
+    n_blocks = W // LANE
+    for c in range(C):
+        out_ref[c, :, :] = jnp.zeros((TILE_ROWS, W), jnp.float32)
+        table = src_ref[c, pl.ds(s, rv), :]
+        table_r = pltpu.roll(table, shift=W - 1, axis=1)
+
+        def consume(h, slope, sel0, sel1, ob, c=c):
+            lo = ob * LANE
+            a_v = av[:, lo : lo + LANE]
+            out_ref[c, :, lo : lo + LANE] += h * (
+                (1.0 - a_v) * sel0 + a_v * sel1
+            )
+
+        _gen_row_candidates(table, table_r, u0, au, dv, dv1, rv, n_blocks, consume)
+
+
+def _gen_bwd_kernel(src_ref, g_ref, u_ref, v_ref, du_ref, dv_ref, *, rv, pad_v):
+    """d_u[i,j] = sum_c g * slope * w_v ; d_v[i,j] = sum_c g * (h1 - h0)."""
+    C, H, W = src_ref.shape
+    t = pl.program_id(1)
+    s = pl.multiple_of(jnp.clip(t * TILE_ROWS - pad_v, 0, H - rv), TILE_ROWS)
+    u0, au, av, dv, dv1 = _gen_coords(u_ref, v_ref, s, rv, W)
+    n_blocks = W // LANE
+    du_ref[:, :] = jnp.zeros((TILE_ROWS, W), jnp.float32)
+    dv_ref[:, :] = jnp.zeros((TILE_ROWS, W), jnp.float32)
+    for c in range(C):
+        table = src_ref[c, pl.ds(s, rv), :]
+        table_r = pltpu.roll(table, shift=W - 1, axis=1)
+        g = g_ref[c, :, :]
+
+        def consume(h, slope, sel0, sel1, ob, c=c, g=g):
+            lo = ob * LANE
+            a_v = av[:, lo : lo + LANE]
+            gg = g[:, lo : lo + LANE]
+            du_ref[:, lo : lo + LANE] += gg * slope * (
+                (1.0 - a_v) * sel0 + a_v * sel1
+            )
+            dv_ref[:, lo : lo + LANE] += gg * h * (sel1 - sel0)
+
+        _gen_row_candidates(table, table_r, u0, au, dv, dv1, rv, n_blocks, consume)
+
+
+def _gen_specs(B, C, Hp, Wp):
+    src_spec = pl.BlockSpec((None, C, Hp, Wp), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((None, TILE_ROWS, Wp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
+    ctile_spec = pl.BlockSpec((None, C, TILE_ROWS, Wp), lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM)
+    return src_spec, tile_spec, ctile_spec
+
+
+def _gen_sample_impl(src, u, v, pad_v):
+    B, H, W, C = src.shape
+    Wp = -(-W // LANE) * LANE
+    Hp = -(-H // TILE_ROWS) * TILE_ROWS
+    rv = 2 * pad_v + TILE_ROWS
+    src_chw = _pad_hw(jnp.transpose(src.astype(jnp.float32), (0, 3, 1, 2)), Hp, Wp, H, W)
+    up = _pad_hw(jnp.clip(u, 0.0, W - 1), Hp, Wp, H, W)
+    vp = _pad_hw(jnp.clip(v, 0.0, H - 1), Hp, Wp, H, W)
+    src_spec, tile_spec, ctile_spec = _gen_specs(B, C, Hp, Wp)
+    out = pl.pallas_call(
+        functools.partial(_gen_fwd_kernel, rv=rv, pad_v=pad_v),
+        grid=(B, Hp // TILE_ROWS),
+        in_specs=[src_spec, tile_spec, tile_spec],
+        out_specs=ctile_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C, Hp, Wp), jnp.float32),
+    )(src_chw, up, vp)
+    return jnp.transpose(out[:, :, :H, :W], (0, 2, 3, 1)).astype(src.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gen_sample(src, u, v, pad_v):
+    return _gen_sample_impl(src, u, v, pad_v)
+
+
+def _gen_sample_fwd(src, u, v, pad_v):
+    return _gen_sample_impl(src, u, v, pad_v), (src, u, v)
+
+
+def _gen_sample_bwd(pad_v, res, g):
+    src, u, v = res
+    B, H, W, C = src.shape
+    Wp = -(-W // LANE) * LANE
+    Hp = -(-H // TILE_ROWS) * TILE_ROWS
+    rv = 2 * pad_v + TILE_ROWS
+    src_chw = _pad_hw(jnp.transpose(src.astype(jnp.float32), (0, 3, 1, 2)), Hp, Wp, H, W)
+    g_chw = _pad_hw(jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2)), Hp, Wp, H, W)
+    up = _pad_hw(jnp.clip(u, 0.0, W - 1), Hp, Wp, H, W)
+    vp = _pad_hw(jnp.clip(v, 0.0, H - 1), Hp, Wp, H, W)
+    src_spec, tile_spec, ctile_spec = _gen_specs(B, C, Hp, Wp)
+    d_u, d_v = pl.pallas_call(
+        functools.partial(_gen_bwd_kernel, rv=rv, pad_v=pad_v),
+        grid=(B, Hp // TILE_ROWS),
+        in_specs=[src_spec, ctile_spec, tile_spec, tile_spec],
+        out_specs=(tile_spec, tile_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
+        ),
+    )(src_chw, g_chw, up, vp)
+    # Frozen source by contract: no scatter-shaped d_src is computed.
+    return jnp.zeros_like(src), d_u[:, :H, :W], d_v[:, :H, :W]
+
+
+_gen_sample.defvjp(_gen_sample_fwd, _gen_sample_bwd)
+
+
+def general_warp_frozen_src(src, depth, T, K, pad_v: int = GEN_PAD_V):
+    """General inverse warp with a FROZEN (non-differentiated) source.
+
+    Drop-in for ``geometry.warp.inverse_warp(stop_gradient(src), ...)``:
+    gradients flow to depth and pose through the sampling coordinates;
+    the source image receives none (by contract — the temporal and
+    frozen-feature losses warp constant sources).
+
+    Additional mask semantics vs the reference: samples with vertical
+    displacement |v - row| > pad_v - 1 or horizontal displacement
+    |u - col| > 127 are invalid (windowed kernel; generous for rigid
+    KITTI-scale motion).
+    """
+    B, H, W, C = src.shape
+    src = jax.lax.stop_gradient(src)
+    coords, front = ref_warp.warp_coords(depth, T, K)
+    u, v = coords[..., 0], coords[..., 1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    in_bounds = (u0 >= 0.0) & (u0 + 1.0 <= W - 1) & (v0 >= 0.0) & (v0 + 1.0 <= H - 1)
+    rows = jax.lax.broadcasted_iota(jnp.float32, v.shape, dimension=1)
+    cols = jax.lax.broadcasted_iota(jnp.float32, u.shape, dimension=2)
+    rv = 2 * pad_v + TILE_ROWS
+    tile = (rows // TILE_ROWS).astype(jnp.int32)
+    Hp = -(-H // TILE_ROWS) * TILE_ROWS
+    s = jnp.clip(tile * TILE_ROWS - pad_v, 0, Hp - rv)
+    window_ok = (v0 >= s) & (v0 + 1 <= s + rv - 1) & (jnp.abs(u - cols) <= LANE - 1)
+    valid = in_bounds & front & window_ok
+    warped = _gen_sample(src, u, v, pad_v)
+    return warped, valid
 
 
 def stereo_warp(

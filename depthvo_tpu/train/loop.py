@@ -129,7 +129,9 @@ def compute_losses(
                 if (h, w) == (H, W)
                 else resize_bilinear(batch["image_s"], h, w)
             )
-            warped, valid = geo_warp.inverse_warp(img_s, depth, T_ts, Ks)
+            # The source frame is constant data: the frozen-src warp's
+            # backward is gather-only (Pallas kernel on TPU).
+            warped, valid = ops.frozen_warp(img_s, depth, T_ts, Ks)
             temporal_total += photometric_loss(
                 warped, img_t, valid, config.ssim_weight
             )
@@ -155,7 +157,11 @@ def compute_losses(
         payload = jnp.concatenate(
             [batch["image_s"], feat_s.astype(batch["image_s"].dtype)], axis=-1
         )
-        warped, valid = geo_warp.inverse_warp(payload, depth_full, T_ts, K)
+        if config.train_feat:
+            # feat_s carries gradients -> needs the scatter-capable path.
+            warped, valid = geo_warp.inverse_warp(payload, depth_full, T_ts, K)
+        else:
+            warped, valid = ops.frozen_warp(payload, depth_full, T_ts, K)
         temporal_total += photometric_loss(
             warped[..., :3], image_t, valid, config.ssim_weight
         )
