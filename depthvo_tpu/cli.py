@@ -171,6 +171,12 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    # Persistent XLA compilation cache (first full-model compile is
+    # minutes; subsequent runs of the same shapes should not pay it).
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "depthvo_jax"),
+    )
     parser = argparse.ArgumentParser(
         prog="depthvo_tpu",
         description="TPU-native Depth-VO-Feat: train/eval/infer/bench",

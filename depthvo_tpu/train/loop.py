@@ -321,6 +321,7 @@ def fit(
     log_fn: Callable[[int, Dict[str, float]], None] | None = None,
     state: TrainState | None = None,
     steps_per_call: int = 1,
+    prefetch: int = 2,
 ) -> TrainState:
     """Host training loop: the rebuild of ``Solver::Solve`` (SURVEY.md §3.1).
 
@@ -331,6 +332,10 @@ def fit(
     ``steps_per_call > 1`` runs K optimizer steps per dispatch via
     ``lax.scan`` (see make_scan_train_step) — use on remote/tunneled
     devices where per-dispatch latency dominates.
+
+    ``prefetch`` overlaps host batch prep + host->device transfer with
+    the previous step's compute on a producer thread (the Caffe
+    InternalThread analog; SURVEY.md §2b(ii)). Set 0 to disable.
     """
     if mesh is None:
         mesh = pmesh.make_mesh(1)
@@ -354,8 +359,18 @@ def fit(
         ckpt_mgr = ckpt_io.make_manager(checkpoint_dir)
         state = ckpt_io.maybe_restore(ckpt_mgr, state)
 
+    # Prefetch: a producer thread decodes + device_puts the next batches
+    # while the current step runs (overlaps tunnel upload with compute).
+    sharded_iter = None
+    if prefetch > 0 and steps_per_call == 1:
+        from depthvo_tpu.data.pipeline import prefetch_to_device
+
+        sharded_iter = prefetch_to_device(data_iter, mesh, buffer_size=prefetch)
+
     t0 = time.perf_counter()
     start_step = int(state.step)
+    steady_t0 = None  # reset after step 1 so steps_per_sec excludes compile
+    steady_base = start_step
     i = start_step
     while i < num_steps:
         k = min(steps_per_call, num_steps - i)
@@ -371,17 +386,25 @@ def fit(
             state, metrics = step_fn(state, batch)
             i += steps_per_call
         else:
-            batch = pmesh.shard_batch(next(data_iter), mesh)
+            if sharded_iter is not None:
+                batch = next(sharded_iter)
+            else:
+                batch = pmesh.shard_batch(next(data_iter), mesh)
             state, metrics = step_fn(state, batch)
             i += 1
+        if steady_t0 is None:
+            # First step included compilation; measure throughput from here.
+            jax.block_until_ready(metrics["loss/total"])
+            steady_t0 = time.perf_counter()
+            steady_base = i
         last = i - 1
         if log_fn is not None and (
             last % config.log_every < (steps_per_call if steps_per_call > 1 else 1)
             or i >= num_steps
         ):
             metrics = jax.device_get(metrics)
-            dt = time.perf_counter() - t0
-            metrics["steps_per_sec"] = (i - start_step) / dt
+            dt = time.perf_counter() - steady_t0
+            metrics["steps_per_sec"] = (i - steady_base) / max(dt, 1e-9)
             log_fn(last, {k_: float(v) for k_, v in metrics.items()})
         if ckpt_mgr is not None and (
             (last + 1) % config.checkpoint_every < (steps_per_call if steps_per_call > 1 else 1)
