@@ -4,13 +4,16 @@ The inverse warp is the framework's one custom hot op (SURVEY.md §2b(i):
 backproject -> rigid transform -> project -> bilinear sample, shared by
 the photometric and feature-reconstruction losses). Two paths:
 
-* ``stereo_warp`` — rectified-stereo (epipolar-horizontal) warping via
-  the Pallas kernel in ``warp_pallas`` (exact; ~10x the XLA gather path
-  on TPU). Used by the stereo photometric loss at every scale.
-* ``fused_warp`` — general 2D warping; stays on the XLA gather path
-  (``geometry.warp.inverse_warp``). A general Pallas kernel requires
-  per-output-row processing (the 2D gather does not decompose into
-  per-axis vector gathers) — future work; see warp_pallas module doc.
+* ``stereo_warp``  — rectified-stereo (epipolar-horizontal) warping with
+  full custom-VJP Pallas kernels (fwd + scatter-free bwd; ~9x XLA
+  fwd+bwd, bit-exact). Used by the stereo loss at every scale.
+* ``frozen_warp``  — general 2D warping of a constant (non-
+  differentiated) source via the per-source-row candidate kernel
+  (gather-only backward; ~3x XLA fwd+bwd). Used by the temporal and
+  frozen-feature losses.
+* ``fused_warp``   — general 2D warping with a differentiated source;
+  XLA path (scatter-shaped d_src can't be vectorized on TPU without a
+  displacement bound — see warp_pallas module doc).
 """
 
 from __future__ import annotations
@@ -46,13 +49,18 @@ def frozen_warp(src, depth, T, K, use_pallas: bool | None = None):
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
+    if use_pallas and src.ndim == 4:
         from depthvo_tpu.ops import warp_pallas
 
         H = src.shape[1]
         Hp = -(-H // 8) * 8
-        if src.ndim == 4 and Hp >= 2 * warp_pallas.GEN_PAD_V + 8:
-            return warp_pallas.general_warp_frozen_src(src, depth, T, K)
+        # Adaptive vertical window: coarse pyramid scales have 1/2^k the
+        # vertical displacement, so a smaller pad still covers the motion.
+        pad_v = warp_pallas.GEN_PAD_V
+        while pad_v > 8 and Hp < 2 * pad_v + 8:
+            pad_v //= 2
+        if Hp >= 2 * pad_v + 8:
+            return warp_pallas.general_warp_frozen_src(src, depth, T, K, pad_v=pad_v)
     return _ref_warp.inverse_warp(jax.lax.stop_gradient(src), depth, T, K)
 
 
