@@ -75,7 +75,15 @@ def cmd_train(args) -> int:
 
         cfg = configs.ExperimentConfig(**{**cfg.__dict__, "batch_size": new_bs})
 
-    if args.kitti_root:
+    if args.train_list:
+        from depthvo_tpu.data.kitti import load_train_list
+
+        ds = load_train_list(
+            args.kitti_root or ".", args.train_list, cfg.model.height, cfg.model.width
+        )
+        it = ds.iterator(cfg.batch_size)
+        print(f"train list: {len(ds)} samples from {args.train_list}")
+    elif args.kitti_root:
         from depthvo_tpu.data.kitti import KittiRawStereo
 
         drives = [d.strip() for d in args.drives.split(",") if d.strip()]
@@ -155,6 +163,28 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_prep(args) -> int:
+    """Build a training sample list from a KITTI raw tree — the rebuild
+    of the reference's offline data-prep scripts (SURVEY.md §3.4)."""
+    from depthvo_tpu.data.kitti import KittiRawStereo, write_train_list
+
+    drives = [d.strip() for d in args.drives.split(",") if d.strip()]
+    if not drives:
+        # Discover all *_sync drives under the root.
+        drives = sorted(
+            d
+            for date in os.listdir(args.kitti_root)
+            if os.path.isdir(os.path.join(args.kitti_root, date))
+            for d in os.listdir(os.path.join(args.kitti_root, date))
+            if d.endswith("_sync")
+        )
+        print(f"discovered {len(drives)} drives")
+    ds = KittiRawStereo(args.kitti_root, drives, args.height, args.width)
+    n = write_train_list(ds, args.output, args.kitti_root)
+    print(f"wrote {n} samples to {args.output}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     from depthvo_tpu.utils.profiling import run_benchmark
 
@@ -189,6 +219,8 @@ def main(argv=None) -> int:
     p.add_argument("--num-devices", type=int, default=None)
     p.add_argument("--kitti-root", default=None)
     p.add_argument("--drives", default="")
+    p.add_argument("--train-list", default=None,
+                   help="prepared sample list (see the `prep` subcommand)")
     p.add_argument("--init-from", default=None,
                    help="previous stage checkpoint (staged finetune)")
     p.add_argument("--steps-per-call", type=int, default=1,
@@ -216,6 +248,13 @@ def main(argv=None) -> int:
     p.add_argument("--images", required=True)
     p.add_argument("--output-dir", default="./depth_out")
     p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("prep", help="build a train-list file from KITTI raw")
+    _add_common(p)
+    p.add_argument("--kitti-root", required=True)
+    p.add_argument("--drives", default="", help="comma-separated; empty = discover all")
+    p.add_argument("--output", default="train_list.txt")
+    p.set_defaults(fn=cmd_prep)
 
     p = sub.add_parser("bench", help="throughput benchmark (reference: caffe time)")
     _add_common(p)

@@ -34,8 +34,35 @@ except ImportError:  # pragma: no cover
     Image = None
 
 
+_NATIVE = None  # tri-state: None = unprobed, False = unavailable
+
+
+def _native():
+    """The C++ decode/resize runtime (native/dataloader.cpp), if buildable."""
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from depthvo_tpu.data import native_loader
+
+            _NATIVE = native_loader if native_loader.available() else False
+        except Exception:
+            _NATIVE = False
+    return _NATIVE
+
+
 def load_image(path: str, height: int, width: int) -> np.ndarray:
-    """Decode + bilinear-resize to (height, width), scale to [-1, 1]."""
+    """Decode + bilinear-resize to (height, width), scale to [-1, 1].
+
+    Uses the native C++ runtime (PNG decode + PIL-compatible triangle
+    resize) when available; PIL otherwise. The two paths are golden-
+    tested against each other (tests/test_native_loader.py).
+    """
+    native = _native()
+    if native and path.lower().endswith(".png"):
+        try:
+            return native.load_resized(path, height, width)
+        except ValueError:
+            pass  # non-8-bit/interlaced PNG: fall through to PIL
     if Image is None:  # pragma: no cover
         raise RuntimeError("PIL not available for image decoding")
     with Image.open(path) as im:
@@ -141,18 +168,74 @@ class KittiRawStereo:
             "K": K,
         }
 
-    def iterator(self, batch_size: int, seed: int = 0, shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    def iterator(
+        self,
+        batch_size: int,
+        seed: int = 0,
+        shuffle: bool = True,
+        num_workers: int = 4,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite epoch-shuffled batch iterator.
+
+        Decoding runs on a thread pool (3 images per sample x batch);
+        with the native C++ decoder this parallelizes cleanly (the work
+        is outside the GIL), mirroring Caffe's multi-threaded
+        data_transformer (SURVEY.md §2b(ii)).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         rng = np.random.default_rng(seed)
         order = np.arange(len(self.samples))
-        while True:
-            if shuffle:
-                rng.shuffle(order)
-            for start in range(0, len(order) - batch_size + 1, batch_size):
-                idxs = order[start : start + batch_size]
-                items = [self.get(int(i)) for i in idxs]
-                yield {
-                    k: np.stack([it[k] for it in items]) for k in items[0]
-                }
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            while True:
+                if shuffle:
+                    rng.shuffle(order)
+                for start in range(0, len(order) - batch_size + 1, batch_size):
+                    idxs = order[start : start + batch_size]
+                    items = list(pool.map(self.get, (int(i) for i in idxs)))
+                    yield {
+                        k: np.stack([it[k] for it in items]) for k in items[0]
+                    }
+
+
+def write_train_list(dataset: "KittiRawStereo", path: str, root: str) -> int:
+    """Emit a train-list file — the reference's data-prep output
+    (SURVEY.md §3.4: image-list files consumed by the data layers).
+
+    Line format: ``left right next_left fx fy cx cy`` with paths relative
+    to ``root`` and intrinsics pre-scaled to the dataset's resolution.
+    """
+    n = 0
+    with open(path, "w") as f:
+        for lt, rt, ls, K in dataset.samples:
+            rel = lambda p: os.path.relpath(p, root)
+            f.write(
+                f"{rel(lt)} {rel(rt)} {rel(ls)} "
+                f"{K[0,0]:.6f} {K[1,1]:.6f} {K[0,2]:.6f} {K[1,2]:.6f}\n"
+            )
+            n += 1
+    return n
+
+
+def load_train_list(root: str, list_path: str, height: int = 160, width: int = 608) -> "KittiRawStereo":
+    """Build a KittiRawStereo from a prepared train-list file (the
+    counterpart of :func:`write_train_list`)."""
+    ds = KittiRawStereo.__new__(KittiRawStereo)
+    ds.root = root
+    ds.height, ds.width = height, width
+    ds.samples = []
+    with open(list_path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) != 7:
+                continue
+            lt, rt, ls = (os.path.join(root, p) for p in parts[:3])
+            fx, fy, cx, cy = (float(x) for x in parts[3:])
+            K = np.array(
+                [[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32
+            )
+            ds.samples.append((lt, rt, ls, K))
+    return ds
 
 
 class KittiOdometrySequence:

@@ -135,3 +135,50 @@ class TestOdometryEvalRunner:
         assert np.isfinite(metrics["ate_m"])
         poses = np.loadtxt(os.path.join(out, f"{seq}.txt"))
         assert poses.shape == (12, 12)
+
+
+class TestTrainList:
+    def test_write_and_load_roundtrip(self, raw_tree, tmp_path):
+        from depthvo_tpu.data.kitti import write_train_list, load_train_list
+
+        root, drive = raw_tree
+        ds = kitti.KittiRawStereo(root, [drive], height=16, width=48)
+        list_path = str(tmp_path / "train.txt")
+        n = write_train_list(ds, list_path, root)
+        assert n == len(ds) == 4
+
+        ds2 = load_train_list(root, list_path, height=16, width=48)
+        assert len(ds2) == len(ds)
+        a, b = ds.get(0), ds2.get(0)
+        for k in ("image_t", "image_r", "image_s"):
+            np.testing.assert_array_equal(a[k], b[k])
+        np.testing.assert_allclose(a["K"], b["K"], rtol=1e-5)
+
+    def test_prep_cli(self, raw_tree, tmp_path):
+        from depthvo_tpu import cli
+
+        root, drive = raw_tree
+        out = str(tmp_path / "list.txt")
+        rc = cli.main([
+            "prep", "--kitti-root", root, "--drives", drive,
+            "--height", "16", "--width", "48", "--output", out,
+        ])
+        assert rc == 0
+        assert len(open(out).read().splitlines()) == 4
+
+
+class TestNativeDecodePath:
+    def test_load_image_uses_native_when_available(self, raw_tree):
+        """load_image must produce identical output whether the native
+        decoder kicked in or not (golden equivalence is separately tested
+        in test_native_loader; here we check the dispatch wiring)."""
+        from depthvo_tpu.data import native_loader
+
+        root, drive = raw_tree
+        ds = kitti.KittiRawStereo(root, [drive], height=16, width=48)
+        img = ds.get(0)["image_t"]
+        assert img.shape == (16, 48, 3)
+        if native_loader.available():
+            path = ds.samples[0][0]
+            native = native_loader.load_resized(path, 16, 48)
+            np.testing.assert_allclose(img, native, atol=1e-6)
