@@ -83,10 +83,17 @@ def run_benchmark(
     """Benchmark one of the hot paths; returns a JSON-able result dict.
 
     Modes:
-      depth_infer — batched DepthNet forward (the BASELINE fps metric).
+      depth_infer — batched DepthNet forward (the BASELINE fps metric);
+        measured with K inner iterations per dispatch (device time).
       odom_infer  — batched OdomNet forward + exp-map.
       train_step  — full full_feat train step (fwd+bwd+update).
       warp        — the fused inverse-warp op alone.
+
+    Note: modes other than depth_infer time sequential dispatches, so on
+    a remote/tunneled device they include ~20 ms per-dispatch latency on
+    top of device time (train_step is NOT scanned on purpose: XLA picks
+    ~3x slower conv schedules inside lax.scan for this model — see
+    train/loop.make_scan_train_step).
     """
     import jax.numpy as jnp
 
