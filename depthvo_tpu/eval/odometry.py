@@ -82,6 +82,29 @@ def ate(pred_poses: np.ndarray, gt_poses: np.ndarray, scale_align: bool = True) 
     return float(np.sqrt((err * err).sum(axis=1).mean()))
 
 
+def snippet_ate(
+    pred_poses: np.ndarray, gt_poses: np.ndarray, snippet_len: int = 5
+) -> Dict[str, float]:
+    """SfMLearner-protocol ATE: mean/std of scale-aligned RMSE over all
+    ``snippet_len``-frame sub-trajectories (the protocol BASELINE.md names
+    for the seq 09/10 gate; 5-frame snippets in the original)."""
+    n = min(len(pred_poses), len(gt_poses))
+    errs = []
+    for start in range(0, n - snippet_len + 1):
+        p = pred_poses[start : start + snippet_len]
+        g = gt_poses[start : start + snippet_len]
+        # Re-anchor both snippets at their first frame.
+        p = np.linalg.inv(p[0])[None] @ p
+        g = np.linalg.inv(g[0])[None] @ g
+        errs.append(ate(p, g, scale_align=True))
+    arr = np.asarray(errs)
+    return {
+        "snippet_ate_mean": float(arr.mean()),
+        "snippet_ate_std": float(arr.std()),
+        "snippets": int(arr.size),
+    }
+
+
 def _trajectory_distances(poses: np.ndarray) -> np.ndarray:
     d = np.zeros(len(poses))
     steps = np.linalg.norm(np.diff(poses[:, :3, 3], axis=0), axis=1)

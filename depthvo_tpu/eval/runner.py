@@ -19,6 +19,7 @@ from depthvo_tpu.eval.odometry import (
     ate,
     compose_trajectory,
     kitti_odometry_errors,
+    snippet_ate,
     write_kitti_poses,
 )
 
@@ -143,4 +144,5 @@ def run_odometry_eval(
     if seq.gt_poses is not None:
         result.update(kitti_odometry_errors(poses, seq.gt_poses))
         result["ate_m"] = ate(poses, seq.gt_poses)
+        result.update(snippet_ate(poses, seq.gt_poses))
     return result

@@ -121,3 +121,30 @@ class TestTrajectory:
         write_kitti_poses(poses, path)
         raw = np.loadtxt(path).reshape(-1, 3, 4)
         np.testing.assert_allclose(raw, poses[:, :3, :4], rtol=1e-6)
+
+
+class TestSnippetATE:
+    def test_perfect_prediction_zero(self):
+        from depthvo_tpu.eval.odometry import snippet_ate
+
+        T = np.eye(4)
+        T[2, 3] = -1.0
+        rel = np.tile(T, (30, 1, 1))
+        poses = compose_trajectory(rel)
+        m = snippet_ate(poses, poses)
+        assert m["snippet_ate_mean"] == pytest.approx(0.0, abs=1e-9)
+        assert m["snippets"] == 27
+
+    def test_detects_local_error(self):
+        from depthvo_tpu.eval.odometry import snippet_ate
+
+        T = np.eye(4)
+        T[2, 3] = -1.0
+        rel = np.tile(T, (30, 1, 1))
+        gt = compose_trajectory(rel)
+        pred = gt.copy()
+        pred[10, 0, 3] += 0.5  # lateral kick at frame 10
+        m = snippet_ate(pred, gt)
+        assert m["snippet_ate_mean"] > 0.005
+        # Only snippets containing frame 10 are affected; global shape ok.
+        assert m["snippet_ate_mean"] < 0.2
