@@ -268,16 +268,6 @@ def _pad_hw(x, Hp, Wp, H, W):
     return jnp.pad(x, pads)
 
 
-def _stereo_launch(kernel, out_shape, n_grid_b, num_tiles, specs, args):
-    return pl.pallas_call(
-        kernel,
-        grid=(n_grid_b, num_tiles),
-        in_specs=specs[0],
-        out_specs=specs[1],
-        out_shape=out_shape,
-    )(*args)
-
-
 def _stereo_sample_impl(src, u, dmax):
     """Forward kernel launch. src (B,H,W,C) f32; u (B,H,W) f32 clamped."""
     B, H, W, C = src.shape

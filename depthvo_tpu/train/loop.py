@@ -45,13 +45,6 @@ from depthvo_tpu.parallel import mesh as pmesh
 from depthvo_tpu.train.state import TrainState, build_models, create_state, make_optimizer
 
 
-def stereo_transform(batch_size: int, baseline: float) -> jax.Array:
-    """T_lr: left-cam -> right-cam. Right camera sits at +baseline*x in the
-    left frame, so point coords shift by -baseline along x."""
-    T = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(-baseline)
-    return jnp.broadcast_to(T, (batch_size, 4, 4))
-
-
 def compute_losses(
     config: ExperimentConfig,
     models,
