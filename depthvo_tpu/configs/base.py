@@ -44,6 +44,10 @@ class ModelConfig:
     min_disp: float = 0.00625
     feat_channels: int = 16
     compute_dtype: str = "bfloat16"  # activations; params always f32
+    # Predict the finest inverse depth at 1/2 res and upsample the disp
+    # map (skips the VPU-bound full-res decoder convs; quality-gated on
+    # the synthetic-scene training check — see models/depth_net.py).
+    fast_final_upsample: bool = False
 
     @property
     def image_shape(self) -> Tuple[int, int, int]:

@@ -41,6 +41,12 @@ class DepthNet(nn.Module):
     max_disp: float = 0.3  # upper bound on inverse depth (1/m)
     min_disp: float = 0.00625  # lower bound (max depth 160 m)
     compute_dtype: Any = jnp.float32
+    # Skip the full-resolution feature convs: predict the finest inverse
+    # depth at 1/2 resolution and bilinearly upsample the 1-channel map.
+    # Full-res small-channel convs are VPU-bound and ~half of decoder
+    # time; metric parity is gated on the synthetic-scene training check
+    # (SURVEY.md §7: the gate is metric parity, not structural mimicry).
+    fast_final_upsample: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -65,17 +71,30 @@ class DepthNet(nn.Module):
         # skips: [1/2 (32), 1/4 (128), 1/8 (256), 1/16 (512), 1/32 (1024)]
 
         # ----- decoder -----
+        from depthvo_tpu.models.layers import resize_bilinear
+
         disps = []
         x = skips[-1]
         n_up = len(self.decoder_features)
+        last_stage = n_up - 1
         for i, feats in enumerate(self.decoder_features):
+            if self.fast_final_upsample and i == last_stage:
+                # Finest scale: upsample the previous disp (1 channel)
+                # instead of running full-res feature convs.
+                prev = disps[-1]
+                disps.append(resize_bilinear(prev, prev.shape[1] * 2, prev.shape[2] * 2))
+                break
             x = UpConv(feats, dtype=dt)(x, train)
             skip_idx = len(skips) - 2 - i
             if skip_idx >= 0:
                 x = jnp.concatenate([x, skips[skip_idx]], axis=-1)
             x = ConvBlock(feats, 3, 1, use_bn=False, dtype=dt)(x, train)
-            # Predict inverse depth at the last `num_scales` resolutions.
+            # Predict inverse depth at the last `num_scales` resolutions
+            # (with fast_final_upsample the second-finest stage must also
+            # emit a disp to upsample from).
             scale_idx = i - (n_up - self.num_scales)
+            if self.fast_final_upsample and i == last_stage - 1:
+                scale_idx = max(scale_idx, 0)
             if scale_idx >= 0:
                 raw = nn.Conv(
                     1,

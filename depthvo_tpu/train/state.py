@@ -86,6 +86,7 @@ def build_models(config: ExperimentConfig):
         max_disp=mc.max_disp,
         min_disp=mc.min_disp,
         compute_dtype=dt,
+        fast_final_upsample=mc.fast_final_upsample,
     )
     odom = OdomNet(compute_dtype=dt)
     feat = FeatNet(out_features=mc.feat_channels, compute_dtype=dt)

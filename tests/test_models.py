@@ -72,3 +72,15 @@ class TestFeatNet:
         assert f.shape == (2, H, W, 16)
         norms = np.linalg.norm(np.asarray(f), axis=-1)
         np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+    def test_fast_final_upsample_shapes(self):
+        net = DepthNet(num_scales=4, fast_final_upsample=True)
+        x = jnp.zeros((2, H, W, 3))
+        variables = net.init(jax.random.PRNGKey(0), x)
+        disps = net.apply(variables, x)
+        expected = [(2, H // 8, W // 8, 1), (2, H // 4, W // 4, 1),
+                    (2, H // 2, W // 2, 1), (2, H, W, 1)]
+        assert [d.shape for d in disps] == expected
+        # Finest scale is an upsample of the 1/2-res disp: same value range.
+        assert float(disps[-1].min()) >= float(disps[-2].min()) - 1e-6
+        assert float(disps[-1].max()) <= float(disps[-2].max()) + 1e-6
