@@ -116,6 +116,7 @@ def cmd_eval_depth(args) -> int:
         max_depth=args.max_depth,
         height=args.height,
         width=args.width,
+        save_preds_dir=args.save_preds,
     )
     print(json.dumps(metrics, indent=2))
     return 0
@@ -234,6 +235,8 @@ def main(argv=None) -> int:
     p.add_argument("--kitti-root", required=True)
     p.add_argument("--split-file", required=True)
     p.add_argument("--max-depth", type=float, default=80.0)
+    p.add_argument("--save-preds", default=None,
+                   help="also write raw depth predictions (.npy) here")
     p.set_defaults(fn=cmd_eval_depth)
 
     p = sub.add_parser("eval-odom", help="KITTI odometry seq eval (t_err/r_err/ATE)")

@@ -74,6 +74,7 @@ def run_depth_eval(
     height: int = 160,
     width: int = 608,
     batch_size: int = 16,
+    save_preds_dir: str | None = None,
 ) -> Dict[str, float]:
     """Eigen-split depth benchmark: read test frames + gt depth npz/npy,
     run batched inference, resize to gt, compute the metric table.
@@ -98,6 +99,11 @@ def run_depth_eval(
             frames.append(load_image(img_path, height, width))
             gts.append(np.load(gt_path))
     preds = predict_depths(model, np.stack(frames), batch_size)
+    if save_preds_dir:
+        # Reference parity: predictions land on disk as .npy before the
+        # metric pass (SURVEY.md §3.2 "save predictions (.npy)").
+        os.makedirs(save_preds_dir, exist_ok=True)
+        np.save(os.path.join(save_preds_dir, "depth_predictions.npy"), preds)
     # Resize predictions to each gt's resolution (reference protocol).
     from PIL import Image
 
