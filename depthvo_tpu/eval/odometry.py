@@ -82,12 +82,48 @@ def ate(pred_poses: np.ndarray, gt_poses: np.ndarray, scale_align: bool = True) 
     return float(np.sqrt((err * err).sum(axis=1).mean()))
 
 
+def _sfmlearner_compute_ate(gt_xyz: np.ndarray, pred_xyz: np.ndarray) -> float:
+    """SfMLearner's exact compute_ate: offset pred to gt at frame 0,
+    least-squares scale (no rotation alignment), then sqrt(sum(err^2))/N.
+
+    Note this is NOT an RMSE (it divides the root by N, not the sum by N
+    inside the root) — kept verbatim so numbers are comparable to the
+    published seq 09/10 snippet-ATE baselines."""
+    pred = pred_xyz + (gt_xyz[0] - pred_xyz[0])[None, :]
+    scale = float(np.sum(gt_xyz * pred) / (np.sum(pred**2) + 1e-12))
+    err = pred * scale - gt_xyz
+    return float(np.sqrt(np.sum(err**2)) / gt_xyz.shape[0])
+
+
 def snippet_ate(
     pred_poses: np.ndarray, gt_poses: np.ndarray, snippet_len: int = 5
 ) -> Dict[str, float]:
-    """SfMLearner-protocol ATE: mean/std of scale-aligned RMSE over all
-    ``snippet_len``-frame sub-trajectories (the protocol BASELINE.md names
-    for the seq 09/10 gate; 5-frame snippets in the original)."""
+    """SfMLearner-protocol ATE: mean/std of :func:`_sfmlearner_compute_ate`
+    over all ``snippet_len``-frame sub-trajectories (the protocol
+    BASELINE.md names for the seq 09/10 gate; 5-frame snippets in the
+    original). Alignment is first-frame offset + global scale ONLY — no
+    rotation — matching SfMLearner's kitti_eval/eval_pose.py."""
+    n = min(len(pred_poses), len(gt_poses))
+    errs = []
+    for start in range(0, n - snippet_len + 1):
+        p = np.asarray(pred_poses[start : start + snippet_len, :3, 3], np.float64)
+        g = np.asarray(gt_poses[start : start + snippet_len, :3, 3], np.float64)
+        errs.append(_sfmlearner_compute_ate(g, p))
+    arr = np.asarray(errs)
+    return {
+        "snippet_ate_mean": float(arr.mean()),
+        "snippet_ate_std": float(arr.std()),
+        "snippets": int(arr.size),
+    }
+
+
+def snippet_ate_umeyama(
+    pred_poses: np.ndarray, gt_poses: np.ndarray, snippet_len: int = 5
+) -> Dict[str, float]:
+    """Umeyama-aligned (rotation + scale) snippet RMSE — a stricter,
+    rotation-invariant variant. NOT the SfMLearner protocol; not
+    comparable to published snippet-ATE tables (use :func:`snippet_ate`
+    for those)."""
     n = min(len(pred_poses), len(gt_poses))
     errs = []
     for start in range(0, n - snippet_len + 1):
@@ -99,8 +135,8 @@ def snippet_ate(
         errs.append(ate(p, g, scale_align=True))
     arr = np.asarray(errs)
     return {
-        "snippet_ate_mean": float(arr.mean()),
-        "snippet_ate_std": float(arr.std()),
+        "snippet_ate_umeyama_mean": float(arr.mean()),
+        "snippet_ate_umeyama_std": float(arr.std()),
         "snippets": int(arr.size),
     }
 

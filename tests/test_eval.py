@@ -148,3 +148,46 @@ class TestSnippetATE:
         assert m["snippet_ate_mean"] > 0.005
         # Only snippets containing frame 10 are affected; global shape ok.
         assert m["snippet_ate_mean"] < 0.2
+
+    def test_sfmlearner_formula_exact(self):
+        """Hand-computed check of SfMLearner's compute_ate: offset to gt
+        at frame 0, least-squares scale, sqrt(SUM err^2)/N (not RMSE)."""
+        from depthvo_tpu.eval.odometry import _sfmlearner_compute_ate
+
+        gt = np.zeros((5, 3))
+        gt[:, 2] = np.arange(5.0)
+        # pred = 2x gt + constant offset: offset+scale alignment -> 0.
+        pred = 2.0 * gt + np.array([3.0, -1.0, 7.0])
+        assert _sfmlearner_compute_ate(gt, pred) == pytest.approx(0.0, abs=1e-9)
+
+        # Known residual: after offset, pred=[0,0,0],[0,0,1]; gt z=[0,2].
+        gt2 = np.array([[0.0, 0, 0], [0, 0, 2.0]])
+        pred2 = np.array([[1.0, 0, 0], [1.0, 0, 1.0]])
+        # offset -> [[0,0,0],[0,0,1]]; scale = (g.p)/(p.p) = 2/1 = 2;
+        # err = [0, 0]; sqrt(0)/2 = 0.
+        assert _sfmlearner_compute_ate(gt2, pred2) == pytest.approx(0.0, abs=1e-9)
+        # Orthogonal error scale can't fix: pred along x, gt along z.
+        gt3 = np.array([[0.0, 0, 0], [0, 0, 1.0]])
+        pred3 = np.array([[0.0, 0, 0], [1.0, 0, 0]])
+        # scale = 0 -> err = gt3 -> sqrt(1)/2 = 0.5
+        assert _sfmlearner_compute_ate(gt3, pred3) == pytest.approx(0.5, abs=1e-9)
+
+    def test_no_rotation_alignment(self):
+        """A pure-rotation misalignment must penalize snippet_ate (the
+        SfMLearner protocol does NOT rotate) while the Umeyama variant
+        absorbs it — the round-1 bug conflated the two (ADVICE.md)."""
+        from depthvo_tpu.eval.odometry import snippet_ate, snippet_ate_umeyama
+
+        T = np.eye(4)
+        T[2, 3] = -1.0
+        rel = np.tile(T, (20, 1, 1))
+        gt = compose_trajectory(rel)
+        # Rotate the whole predicted trajectory 90 deg about y.
+        R = np.array([[0.0, 0, 1], [0, 1, 0], [-1, 0, 0]])
+        Rot = np.eye(4)
+        Rot[:3, :3] = R
+        pred = Rot[None] @ gt
+        m_sfm = snippet_ate(pred, gt)
+        m_ume = snippet_ate_umeyama(pred, gt)
+        assert m_sfm["snippet_ate_mean"] > 0.1
+        assert m_ume["snippet_ate_umeyama_mean"] == pytest.approx(0.0, abs=1e-9)
