@@ -29,21 +29,46 @@ import numpy as np
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--variant", default="full_feat",
                    choices=["stereo", "temporal_stereo", "full_feat", "tiny_test"])
-    p.add_argument("--height", type=int, default=160)
-    p.add_argument("--width", type=int, default=608)
+    # None = keep the variant's own resolution (tiny_test is 32x96).
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--checkpoint-dir", default=None)
 
 
 def _make_config(args):
+    import dataclasses
+
     from depthvo_tpu import configs
 
     factory = getattr(configs, args.variant)
     cfg = factory(batch_size=args.batch_size)
-    if (args.height, args.width) != (160, 608):
-        mc = configs.ModelConfig(height=args.height, width=args.width)
-        cfg = configs.ExperimentConfig(**{**cfg.__dict__, "model": mc})
+    height = args.height if args.height is not None else cfg.model.height
+    width = args.width if args.width is not None else cfg.model.width
+    if (height, width) != (cfg.model.height, cfg.model.width):
+        # Preserve every other model field (num_scales, compute_dtype,
+        # fast_final_upsample, ...) on a size override.
+        mc = dataclasses.replace(cfg.model, height=height, width=width)
+        cfg = dataclasses.replace(cfg, model=mc)
     return cfg
+
+
+def _load_model(args):
+    """Restore a DepthVO for eval/infer, preferring the config.json the
+    train loop saved next to the checkpoint over CLI defaults."""
+    import os as _os
+
+    from depthvo_tpu import api
+
+    if not args.checkpoint_dir:
+        return api.DepthVO.from_random(_make_config(args))
+    cfg = None
+    cfg_path = _os.path.join(args.checkpoint_dir, "config.json")
+    if _os.path.isfile(cfg_path):
+        from depthvo_tpu.configs import base as config_io
+
+        cfg = config_io.load_json(cfg_path)
+    return api.DepthVO.from_checkpoint(args.checkpoint_dir, cfg)
 
 
 def cmd_train(args) -> int:
@@ -59,11 +84,11 @@ def cmd_train(args) -> int:
         # value produced inside the jitted step.
         jax.config.update("jax_debug_nans", True)
 
+    import dataclasses
+
     cfg = _make_config(args)
     if args.init_from:
-        from depthvo_tpu import configs
-
-        cfg = configs.ExperimentConfig(**{**cfg.__dict__, "init_from": args.init_from})
+        cfg = dataclasses.replace(cfg, init_from=args.init_from)
 
     mesh = pmesh.make_mesh(args.num_devices)
     print(f"mesh: {mesh.size} device(s) on axis 'data'; backend={jax.default_backend()}")
@@ -71,9 +96,7 @@ def cmd_train(args) -> int:
         new_bs = -(-cfg.batch_size // mesh.size) * mesh.size
         print(f"global batch {cfg.batch_size} not divisible by mesh {mesh.size}; "
               f"rounding up to {new_bs}")
-        from depthvo_tpu import configs
-
-        cfg = configs.ExperimentConfig(**{**cfg.__dict__, "batch_size": new_bs})
+        cfg = dataclasses.replace(cfg, batch_size=new_bs)
 
     if args.train_list:
         from depthvo_tpu.data.kitti import load_train_list
@@ -83,6 +106,15 @@ def cmd_train(args) -> int:
         )
         it = ds.iterator(cfg.batch_size)
         print(f"train list: {len(ds)} samples from {args.train_list}")
+    elif args.kitti_odom_root:
+        from depthvo_tpu.data.kitti import KittiOdomStereo
+
+        seqs = [s.strip() for s in args.sequences.split(",") if s.strip()]
+        ds = KittiOdomStereo(
+            args.kitti_odom_root, seqs, cfg.model.height, cfg.model.width
+        )
+        it = ds.iterator(cfg.batch_size)
+        print(f"KITTI odometry: {len(ds)} training samples from seqs {seqs}")
     elif args.kitti_root:
         from depthvo_tpu.data.kitti import KittiRawStereo
 
@@ -94,29 +126,42 @@ def cmd_train(args) -> int:
         print("no --kitti-root given: training on synthetic scenes")
         it = SyntheticScenes(cfg, seed=cfg.seed).iterator(cfg.batch_size)
 
-    def log(step, metrics):
-        parts = " ".join(f"{k}={v:.5f}" for k, v in sorted(metrics.items()))
-        print(f"step {step}: {parts}", flush=True)
+    from depthvo_tpu.utils.logging import MetricLogger
 
-    train_loop.fit(
-        cfg, it, args.steps, mesh=mesh,
-        checkpoint_dir=args.checkpoint_dir, log_fn=log,
-        steps_per_call=args.steps_per_call,
-    )
+    log = MetricLogger(jsonl_path=args.log_jsonl)
+    try:
+        train_loop.fit(
+            cfg, it, args.steps, mesh=mesh,
+            checkpoint_dir=args.checkpoint_dir, log_fn=log,
+            steps_per_call=args.steps_per_call,
+        )
+    finally:
+        log.close()
     return 0
+
+
+def _model_resolution(args, model) -> tuple:
+    """Eval/infer resolution: explicit flags win, else the (restored)
+    model config's native training resolution."""
+    h = args.height if args.height is not None else model.config.model.height
+    w = args.width if args.width is not None else model.config.model.width
+    return h, w
 
 
 def cmd_eval_depth(args) -> int:
     from depthvo_tpu.eval.runner import run_depth_eval
 
+    model = _load_model(args)
+    h, w = _model_resolution(args, model)
     metrics = run_depth_eval(
         checkpoint_dir=args.checkpoint_dir,
         kitti_root=args.kitti_root,
         split_file=args.split_file,
         max_depth=args.max_depth,
-        height=args.height,
-        width=args.width,
+        height=h,
+        width=w,
         save_preds_dir=args.save_preds,
+        model=model,
     )
     print(json.dumps(metrics, indent=2))
     return 0
@@ -125,35 +170,34 @@ def cmd_eval_depth(args) -> int:
 def cmd_eval_odom(args) -> int:
     from depthvo_tpu.eval.runner import run_odometry_eval
 
+    model = _load_model(args)
+    h, w = _model_resolution(args, model)
     metrics = run_odometry_eval(
         checkpoint_dir=args.checkpoint_dir,
         kitti_odom_root=args.kitti_root,
         sequence=args.sequence,
         output_dir=args.output_dir,
-        height=args.height,
-        width=args.width,
+        height=h,
+        width=w,
+        model=model,
     )
     print(json.dumps(metrics, indent=2))
     return 0
 
 
 def cmd_infer(args) -> int:
-    from depthvo_tpu import api
     from depthvo_tpu.data.kitti import load_image
 
-    model = (
-        api.DepthVO.from_checkpoint(args.checkpoint_dir)
-        if args.checkpoint_dir
-        else api.DepthVO.from_random()
-    )
+    model = _load_model(args)
     os.makedirs(args.output_dir, exist_ok=True)
     paths = sorted(
         os.path.join(args.images, f)
         for f in os.listdir(args.images)
         if f.lower().endswith((".png", ".jpg", ".jpeg"))
     )
+    h, w = _model_resolution(args, model)
     for path in paths:
-        img = load_image(path, args.height, args.width)
+        img = load_image(path, h, w)
         depth = model.depth(img)[0]
         out = os.path.join(
             args.output_dir,
@@ -165,10 +209,27 @@ def cmd_infer(args) -> int:
 
 
 def cmd_prep(args) -> int:
-    """Build a training sample list from a KITTI raw tree — the rebuild
-    of the reference's offline data-prep scripts (SURVEY.md §3.4)."""
-    from depthvo_tpu.data.kitti import KittiRawStereo, write_train_list
+    """Build a training sample list from a KITTI raw OR odometry tree —
+    the rebuild of the reference's offline data-prep scripts (SURVEY.md
+    §3.4: raw drives for depth, odometry seqs 00-08 for VO training)."""
+    from depthvo_tpu.data.kitti import (
+        KittiOdomStereo,
+        KittiRawStereo,
+        write_train_list,
+    )
 
+    if args.odom_root:
+        seqs = [s.strip() for s in args.sequences.split(",") if s.strip()]
+        ds = KittiOdomStereo(
+            args.odom_root, seqs, args.height or 160, args.width or 608
+        )
+        n = write_train_list(ds, args.output, args.odom_root)
+        print(f"wrote {n} samples from odometry seqs {seqs} to {args.output}")
+        return 0
+
+    if not args.kitti_root:
+        print("prep: need --kitti-root (raw) or --odom-root (odometry)")
+        return 2
     drives = [d.strip() for d in args.drives.split(",") if d.strip()]
     if not drives:
         # Discover all *_sync drives under the root.
@@ -180,9 +241,28 @@ def cmd_prep(args) -> int:
             if d.endswith("_sync")
         )
         print(f"discovered {len(drives)} drives")
-    ds = KittiRawStereo(args.kitti_root, drives, args.height, args.width)
+    ds = KittiRawStereo(
+        args.kitti_root, drives, args.height or 160, args.width or 608
+    )
     n = write_train_list(ds, args.output, args.kitti_root)
     print(f"wrote {n} samples to {args.output}")
+    return 0
+
+
+def cmd_prep_eigen(args) -> int:
+    """Generate Eigen-split gt depth from raw velodyne + the eval list —
+    the reference's velodyne-derived gt pipeline (SURVEY.md §3.2). After
+    this, ``eval-depth --split-file <out>/eigen_list.txt`` runs from the
+    raw KITTI tree alone."""
+    from depthvo_tpu.data.eigen import prep_eigen
+
+    n, list_path = prep_eigen(
+        kitti_root=args.kitti_root,
+        out_dir=args.output_dir,
+        split_file=args.split_file,
+        scenes=[s for s in args.scenes.split(",") if s] or None,
+    )
+    print(f"wrote {n} gt depth maps; eval list: {list_path}")
     return 0
 
 
@@ -192,10 +272,11 @@ def cmd_bench(args) -> int:
     result = run_benchmark(
         mode=args.mode,
         batch_size=args.batch_size,
-        height=args.height,
-        width=args.width,
+        height=args.height or 160,
+        width=args.width or 608,
         steps=args.steps,
         trace_dir=args.trace_dir,
+        variant=args.variant,
     )
     print(json.dumps(result))
     return 0
@@ -220,6 +301,10 @@ def main(argv=None) -> int:
     p.add_argument("--num-devices", type=int, default=None)
     p.add_argument("--kitti-root", default=None)
     p.add_argument("--drives", default="")
+    p.add_argument("--kitti-odom-root", default=None,
+                   help="KITTI odometry tree: train on sequences (ref: 00-08)")
+    p.add_argument("--sequences", default="00,01,02,03,04,05,06,07,08",
+                   help="odometry sequences for --kitti-odom-root")
     p.add_argument("--train-list", default=None,
                    help="prepared sample list (see the `prep` subcommand)")
     p.add_argument("--init-from", default=None,
@@ -228,6 +313,8 @@ def main(argv=None) -> int:
                    help="optimizer steps per dispatch (lax.scan)")
     p.add_argument("--debug-nans", action="store_true",
                    help="abort on the first non-finite value (diagnostics)")
+    p.add_argument("--log-jsonl", default=None,
+                   help="also append per-step metrics as JSONL here")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval-depth", help="Eigen-split depth metrics")
@@ -252,12 +339,28 @@ def main(argv=None) -> int:
     p.add_argument("--output-dir", default="./depth_out")
     p.set_defaults(fn=cmd_infer)
 
-    p = sub.add_parser("prep", help="build a train-list file from KITTI raw")
+    p = sub.add_parser("prep", help="build a train-list file from KITTI raw/odometry")
     _add_common(p)
-    p.add_argument("--kitti-root", required=True)
+    p.add_argument("--kitti-root", default=None)
     p.add_argument("--drives", default="", help="comma-separated; empty = discover all")
+    p.add_argument("--odom-root", default=None,
+                   help="KITTI odometry tree (overrides --kitti-root)")
+    p.add_argument("--sequences", default="00,01,02,03,04,05,06,07,08")
     p.add_argument("--output", default="train_list.txt")
     p.set_defaults(fn=cmd_prep)
+
+    p = sub.add_parser(
+        "prep-eigen",
+        help="velodyne -> Eigen-split gt depth + eval list (reference gt protocol)",
+    )
+    p.add_argument("--kitti-root", required=True)
+    p.add_argument("--output-dir", default="./eigen_gt")
+    p.add_argument("--split-file", default=None,
+                   help="canonical eigen_test_files list (either format); "
+                        "default: enumerate the shipped test-scene drives")
+    p.add_argument("--scenes", default="",
+                   help="comma-separated drive names overriding the shipped list")
+    p.set_defaults(fn=cmd_prep_eigen)
 
     p = sub.add_parser("bench", help="throughput benchmark (reference: caffe time)")
     _add_common(p)

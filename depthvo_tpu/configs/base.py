@@ -101,6 +101,42 @@ class ExperimentConfig:
     init_from: str | None = None  # previous stage checkpoint dir
 
 
+def to_dict(cfg: ExperimentConfig) -> dict:
+    """JSON-serializable dict (nested dataclasses included)."""
+    return dataclasses.asdict(cfg)
+
+
+def from_dict(d: dict) -> ExperimentConfig:
+    """Inverse of :func:`to_dict` — rebuild the nested frozen dataclasses.
+
+    Unknown keys are ignored (forward compatibility with configs saved by
+    newer versions)."""
+    def pick(cls, sub: dict) -> dict:
+        names = {f.name for f in dataclasses.fields(cls)}
+        return {k: v for k, v in sub.items() if k in names}
+
+    kwargs = pick(ExperimentConfig, d)
+    if isinstance(kwargs.get("model"), dict):
+        kwargs["model"] = ModelConfig(**pick(ModelConfig, kwargs["model"]))
+    if isinstance(kwargs.get("optim"), dict):
+        kwargs["optim"] = OptimConfig(**pick(OptimConfig, kwargs["optim"]))
+    return ExperimentConfig(**kwargs)
+
+
+def save_json(cfg: ExperimentConfig, path: str) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(to_dict(cfg), f, indent=2)
+
+
+def load_json(path: str) -> ExperimentConfig:
+    import json
+
+    with open(path) as f:
+        return from_dict(json.load(f))
+
+
 def stereo(**overrides) -> ExperimentConfig:
     """Stage 1: stereo photometric depth training (reference experiments/depth)."""
     return ExperimentConfig(name="stereo", **overrides)

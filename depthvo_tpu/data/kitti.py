@@ -71,6 +71,17 @@ def load_image(path: str, height: int, width: int) -> np.ndarray:
     return arr / 127.5 - 1.0
 
 
+def _image_size(path: str) -> Tuple[int, int]:
+    """(width, height) from the image header — PIL reads it lazily, so no
+    pixel decode happens. KITTI native resolutions vary by date/sequence
+    (1242x375, 1238x374, 1226x370, 1241x376, ...); hardcoding one corrupts
+    the scaled intrinsics by ~1% for the others."""
+    if Image is None:  # pragma: no cover
+        raise RuntimeError("PIL not available for image decoding")
+    with Image.open(path) as im:
+        return im.size
+
+
 def _scaled_K(K_full: np.ndarray, orig_wh: Tuple[int, int], out_wh: Tuple[int, int]) -> np.ndarray:
     sx = out_wh[0] / orig_wh[0]
     sy = out_wh[1] / orig_wh[1]
@@ -97,23 +108,37 @@ def read_raw_calib(calib_path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def _read_odometry_P(calib_path: str, keys: Sequence[str]) -> Dict[str, np.ndarray]:
+    mats: Dict[str, np.ndarray] = {}
+    with open(calib_path) as f:
+        for line in f:
+            key = line.split(":", 1)[0].strip()
+            if key in keys:
+                vals = np.array([float(x) for x in line.split()[1:]], np.float32)
+                mats[key] = vals.reshape(3, 4)
+    return mats
+
+
 def read_odometry_calib(calib_path: str) -> np.ndarray:
     """Parse KITTI odometry calib.txt -> left-cam intrinsics K (3,3).
 
     Prefers P2 (left color camera, the one image_2 frames come from);
     falls back to P0 (left gray) for sequences without color calib.
     """
-    mats: Dict[str, np.ndarray] = {}
-    with open(calib_path) as f:
-        for line in f:
-            key = line.split(":", 1)[0].strip()
-            if key in ("P0", "P2"):
-                vals = np.array([float(x) for x in line.split()[1:]], np.float32)
-                mats[key] = vals.reshape(3, 4)[:, :3].copy()
+    mats = _read_odometry_P(calib_path, ("P0", "P2"))
     for key in ("P2", "P0"):
         if key in mats:
-            return mats[key]
+            return mats[key][:, :3].copy()
     raise ValueError(f"no projection matrix found in {calib_path}")
+
+
+def read_odometry_projections(calib_path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(P2, P3) full 3x4 rectified projections (left/right color cams) —
+    P3's x-offset encodes the stereo baseline used for training."""
+    mats = _read_odometry_P(calib_path, ("P2", "P3"))
+    if "P2" not in mats or "P3" not in mats:
+        raise ValueError(f"need P2 and P3 in {calib_path} for stereo training")
+    return mats["P2"], mats["P3"]
 
 
 class KittiRawStereo:
@@ -129,7 +154,7 @@ class KittiRawStereo:
         drives: Sequence[str],
         height: int = 160,
         width: int = 608,
-        orig_size: Tuple[int, int] = (1242, 375),
+        orig_size: Tuple[int, int] | None = None,
     ):
         self.root = root
         self.height, self.width = height, width
@@ -143,8 +168,18 @@ class KittiRawStereo:
                 continue
             calib = read_raw_calib(os.path.join(root, date, "calib_cam_to_cam.txt"))
             P = calib["P_rect_02"].reshape(3, 4)
-            K = _scaled_K(P[:, :3], orig_size, (width, height))
             frames = sorted(os.listdir(left_dir))
+            # Per-drive native resolution: calib's rectified size if
+            # recorded, else the first frame's header (varies by date).
+            if orig_size is not None:
+                drive_size = orig_size
+            elif "S_rect_02" in calib and calib["S_rect_02"].size == 2:
+                drive_size = (int(calib["S_rect_02"][0]), int(calib["S_rect_02"][1]))
+            elif frames:
+                drive_size = _image_size(os.path.join(left_dir, frames[0]))
+            else:
+                continue
+            K = _scaled_K(P[:, :3], drive_size, (width, height))
             for a, b in zip(frames[:-1], frames[1:]):
                 self.samples.append(
                     (
@@ -238,6 +273,62 @@ def load_train_list(root: str, list_path: str, height: int = 160, width: int = 6
     return ds
 
 
+class KittiOdomStereo(KittiRawStereo):
+    """Stereo + temporal training triples from KITTI *odometry* sequences.
+
+    The reference trains VO on odometry sequences 00-08 (SURVEY.md §3.4,
+    §6: "read KITTI raw (Eigen split) + KITTI odometry seq 00-08"), whose
+    tree layout differs from raw: ``sequences/<seq>/image_2`` (left) and
+    ``image_3`` (right), calib in ``calib.txt`` P2/P3 rows. Produces the
+    same batch contract as :class:`KittiRawStereo` (image_t/image_r/
+    image_s/K), so training and `prep` work unchanged.
+
+    The stereo baseline comes from the calib itself: P3's -fx*baseline
+    x-offset relative to P2 (KITTI odometry rigs are ~0.54 m but vary
+    slightly per sequence).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        sequences: Sequence[str],
+        height: int = 160,
+        width: int = 608,
+        orig_size: Tuple[int, int] | None = None,
+    ):
+        self.root = root
+        self.height, self.width = height, width
+        self.samples: List[Tuple[str, str, str, np.ndarray]] = []
+        self.baselines: Dict[str, float] = {}
+        for seq in sequences:
+            seq_dir = os.path.join(root, "sequences", seq)
+            left_dir = os.path.join(seq_dir, "image_2")
+            right_dir = os.path.join(seq_dir, "image_3")
+            if not os.path.isdir(left_dir) or not os.path.isdir(right_dir):
+                continue
+            P2, P3 = read_odometry_projections(
+                os.path.join(seq_dir, "calib.txt")
+            )
+            frames = sorted(
+                f for f in os.listdir(left_dir) if f.endswith(".png")
+            )
+            if not frames:
+                continue
+            size = orig_size or _image_size(os.path.join(left_dir, frames[0]))
+            K = _scaled_K(P2[:, :3].copy(), size, (width, height))
+            # Baseline: P3 = K [R | t] with t_x = -fx * b for the right cam.
+            self.baselines[seq] = float(-P3[0, 3] / P3[0, 0])
+            for a, b in zip(frames[:-1], frames[1:]):
+                self.samples.append(
+                    (
+                        os.path.join(left_dir, a),
+                        os.path.join(right_dir, a),
+                        os.path.join(left_dir, b),
+                        K,
+                    )
+                )
+
+
 class KittiOdometrySequence:
     """Frame access over one KITTI odometry sequence (eval / VO inference)."""
 
@@ -248,7 +339,7 @@ class KittiOdometrySequence:
         height: int = 160,
         width: int = 608,
         camera: str = "image_2",
-        orig_size: Tuple[int, int] = (1241, 376),
+        orig_size: Tuple[int, int] | None = None,
     ):
         seq_dir = os.path.join(root, "sequences", sequence)
         self.frame_paths = sorted(
@@ -258,6 +349,10 @@ class KittiOdometrySequence:
         )
         self.height, self.width = height, width
         K_full = read_odometry_calib(os.path.join(seq_dir, "calib.txt"))
+        if orig_size is None:
+            # Native size varies per sequence (1241x376, 1226x370, ...);
+            # read it from the first frame's header.
+            orig_size = _image_size(self.frame_paths[0])
         self.K = _scaled_K(K_full, orig_size, (width, height))
         pose_path = os.path.join(root, "poses", sequence + ".txt")
         self.gt_poses = None

@@ -75,6 +75,7 @@ def run_depth_eval(
     width: int = 608,
     batch_size: int = 16,
     save_preds_dir: str | None = None,
+    model: DepthVO | None = None,
 ) -> Dict[str, float]:
     """Eigen-split depth benchmark: read test frames + gt depth npz/npy,
     run batched inference, resize to gt, compute the metric table.
@@ -83,11 +84,12 @@ def run_depth_eval(
     """
     from depthvo_tpu.data.kitti import load_image
 
-    model = (
-        DepthVO.from_checkpoint(checkpoint_dir)
-        if checkpoint_dir
-        else DepthVO.from_random()
-    )
+    if model is None:
+        model = (
+            DepthVO.from_checkpoint(checkpoint_dir)
+            if checkpoint_dir
+            else DepthVO.from_random()
+        )
     frames, gts = [], []
     with open(split_file) as f:
         for line in f:
@@ -123,16 +125,18 @@ def run_odometry_eval(
     output_dir: str | None = None,
     height: int = 160,
     width: int = 608,
+    model: DepthVO | None = None,
 ) -> Dict[str, float]:
     """Seq eval: predict trajectory, write KITTI pose file, devkit
     metrics + ATE against ground truth."""
     from depthvo_tpu.data.kitti import KittiOdometrySequence
 
-    model = (
-        DepthVO.from_checkpoint(checkpoint_dir)
-        if checkpoint_dir
-        else DepthVO.from_random()
-    )
+    if model is None:
+        model = (
+            DepthVO.from_checkpoint(checkpoint_dir)
+            if checkpoint_dir
+            else DepthVO.from_random()
+        )
     seq = KittiOdometrySequence(kitti_odom_root, sequence, height, width)
     poses = predict_trajectory(model, seq)
     if output_dir:

@@ -46,6 +46,33 @@ def maybe_restore(mgr: ocp.CheckpointManager, state: TrainState) -> TrainState:
     return mgr.restore(step, args=ocp.args.StandardRestore(state))
 
 
+def _restore_raw_resharded(mgr: ocp.CheckpointManager, step: int) -> Any:
+    """Restore the raw checkpoint pytree onto the CURRENT devices.
+
+    A checkpoint saved from an 8-device DP mesh must still load on a
+    single chip (train DP -> eval/infer single-device, or staged init
+    across device counts). A bare ``mgr.restore(step)`` reuses the saved
+    shardings and fails when the device set changed, so rebuild the
+    abstract tree from checkpoint metadata with a local sharding.
+    """
+    try:
+        return mgr.restore(step)
+    except Exception:
+        pass
+    from jax.sharding import SingleDeviceSharding
+
+    sharding = SingleDeviceSharding(jax.devices()[0])
+    meta = mgr.item_metadata(step)
+
+    def abstract(m):
+        if hasattr(m, "shape") and getattr(m, "dtype", None) is not None:
+            return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding)
+        return m
+
+    template = jax.tree.map(abstract, meta)
+    return mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+
 def restore_weights(directory: str, state: TrainState) -> TrainState:
     """Weights-only init from a previous stage's checkpoint directory.
 
@@ -59,7 +86,7 @@ def restore_weights(directory: str, state: TrainState) -> TrainState:
     step = mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint found in {directory}")
-    restored = mgr.restore(step)  # raw pytree
+    restored = _restore_raw_resharded(mgr, step)
     r_params = restored["params"]
     new_params = dict(state.params)
     for key in new_params:

@@ -5,7 +5,9 @@
 * temporal photometric loss — depth + predicted pose -> warp adjacent
   frame into the reference view, masked L1.
 * feature reconstruction loss — the same warp applied to dense feature
-  maps, masked L1 in feature space.
+  maps, masked L1 in feature space (implemented fused with the temporal
+  warp in train/loop.py::compute_losses — the warp samples RGB and
+  features in one gather, so there is no separate module for it).
 * inverse-depth smoothness regularizer.
 
 All losses consume the validity mask produced by the warp (out-of-image
@@ -19,4 +21,3 @@ from depthvo_tpu.losses.photometric import (  # noqa: F401
     ssim,
 )
 from depthvo_tpu.losses.smoothness import smoothness_loss  # noqa: F401
-from depthvo_tpu.losses.feature import feature_reconstruction_loss  # noqa: F401

@@ -24,6 +24,7 @@ T_lr maps left-cam points to right-cam coords (X_r = X_l - [b,0,0]).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable, Dict, Iterator
 
@@ -347,10 +348,14 @@ def fit(
 
     ckpt_mgr = None
     if checkpoint_dir is not None:
+        from depthvo_tpu.configs import base as config_io
         from depthvo_tpu.io import checkpoint as ckpt_io
 
         ckpt_mgr = ckpt_io.make_manager(checkpoint_dir)
         state = ckpt_io.maybe_restore(ckpt_mgr, state)
+        # Persist the config so eval/infer can restore the exact model
+        # (num_scales, fast_final_upsample, ...) without CLI re-specification.
+        config_io.save_json(config, os.path.join(checkpoint_dir, "config.json"))
 
     # Prefetch: a producer thread decodes + device_puts the next batches
     # while the current step runs (overlaps tunnel upload with compute).

@@ -79,6 +79,7 @@ def run_benchmark(
     width: int = 608,
     steps: int = 50,
     trace_dir: str | None = None,
+    variant: str = "full_feat",
 ) -> Dict[str, Any]:
     """Benchmark one of the hot paths; returns a JSON-able result dict.
 
@@ -95,6 +96,8 @@ def run_benchmark(
     ~3x slower conv schedules inside lax.scan for this model — see
     train/loop.make_scan_train_step).
     """
+    import dataclasses
+
     import jax.numpy as jnp
 
     from depthvo_tpu import configs
@@ -103,10 +106,14 @@ def run_benchmark(
     rng = np.random.default_rng(0)
     stats_scale = 1  # iterations folded inside one dispatch (scan modes)
 
+    def _cfg(**over):
+        cfg = getattr(configs, variant)(**over)
+        return dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, height=height, width=width)
+        )
+
     if mode == "depth_infer":
-        cfg = configs.full_feat()
-        mc = configs.ModelConfig(height=height, width=width)
-        cfg = configs.ExperimentConfig(**{**cfg.__dict__, "model": mc})
+        cfg = _cfg()
         model = DepthVO.from_random(cfg)
         images = jnp.asarray(
             rng.uniform(-1, 1, (batch_size, height, width, 3)), jnp.float32
@@ -132,10 +139,7 @@ def run_benchmark(
         stats_scale = K_INNER
         fn = lambda: scan_fwd(model.params, model.batch_stats, images)
     elif mode == "odom_infer":
-        cfg = configs.full_feat()
-        mc = configs.ModelConfig(height=height, width=width)
-        cfg = configs.ExperimentConfig(**{**cfg.__dict__, "model": mc})
-        model = DepthVO.from_random(cfg)
+        model = DepthVO.from_random(_cfg())
         pairs = jnp.asarray(
             rng.uniform(-1, 1, (batch_size, height, width, 6)), jnp.float32
         )
@@ -146,9 +150,7 @@ def run_benchmark(
         from depthvo_tpu.train import loop as train_loop
         from depthvo_tpu.train.state import create_state
 
-        cfg = configs.full_feat(batch_size=batch_size)
-        mc = configs.ModelConfig(height=height, width=width)
-        cfg = configs.ExperimentConfig(**{**cfg.__dict__, "model": mc})
+        cfg = _cfg(batch_size=batch_size)
         mesh = pmesh.make_mesh(1)
         state = jax.device_put(
             create_state(cfg, jax.random.PRNGKey(0)), pmesh.replicated(mesh)
@@ -191,6 +193,7 @@ def run_benchmark(
     frames_per_sec = batch_size / stats["median_s"]
     return {
         "mode": mode,
+        "variant": variant,
         "batch_size": batch_size,
         "height": height,
         "width": width,

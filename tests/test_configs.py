@@ -1,0 +1,103 @@
+"""Config serialization + CLI config plumbing.
+
+Round-1 ADVICE: ``cli._make_config`` rebuilt ModelConfig from scratch on a
+size override (dropping num_scales/compute_dtype/fast_final_upsample), and
+eval/infer hardcoded ``full_feat()`` so non-default checkpoints could not
+be restored from the CLI. Now the train loop saves ``config.json`` next to
+the checkpoint and the CLI restores it.
+"""
+
+import dataclasses
+import json
+
+import pytest
+
+from depthvo_tpu.configs import base as configs
+
+
+class TestConfigJson:
+    def test_roundtrip(self, tmp_path):
+        cfg = configs.full_feat(
+            batch_size=8,
+            model=configs.ModelConfig(
+                height=96, width=320, num_scales=3, fast_final_upsample=True,
+                compute_dtype="float32",
+            ),
+            optim=configs.OptimConfig(learning_rate=3e-4, total_steps=777),
+        )
+        path = str(tmp_path / "config.json")
+        configs.save_json(cfg, path)
+        restored = configs.load_json(path)
+        assert restored == cfg
+
+    def test_unknown_keys_ignored(self, tmp_path):
+        d = configs.to_dict(configs.stereo())
+        d["future_field"] = 1
+        d["model"]["future_model_field"] = 2
+        path = str(tmp_path / "config.json")
+        with open(path, "w") as f:
+            json.dump(d, f)
+        restored = configs.load_json(path)
+        assert restored == configs.stereo()
+
+
+class TestMakeConfig:
+    def _args(self, **over):
+        import argparse
+
+        ns = argparse.Namespace(
+            variant="full_feat", height=160, width=608, batch_size=4,
+            checkpoint_dir=None,
+        )
+        for k, v in over.items():
+            setattr(ns, k, v)
+        return ns
+
+    def test_size_override_preserves_model_fields(self):
+        from depthvo_tpu.cli import _make_config
+
+        cfg_default = _make_config(self._args())
+        cfg = _make_config(self._args(height=96, width=320))
+        assert (cfg.model.height, cfg.model.width) == (96, 320)
+        assert cfg.model.num_scales == cfg_default.model.num_scales
+        assert cfg.model.compute_dtype == cfg_default.model.compute_dtype
+        assert cfg.model.fast_final_upsample == cfg_default.model.fast_final_upsample
+        assert cfg.use_feature and cfg.use_temporal
+
+    def test_noop_when_default_size(self):
+        from depthvo_tpu.cli import _make_config
+
+        cfg = _make_config(self._args())
+        assert cfg == configs.full_feat(batch_size=4)
+
+
+class TestCheckpointConfigPlumbing:
+    def test_fit_writes_config_and_cli_restores_it(self, tmp_path):
+        """Train a couple of tiny steps with a NON-default model config;
+        the CLI-side loader must reconstruct the same architecture from
+        the saved config.json (not silently fall back to full_feat)."""
+        import jax
+
+        from depthvo_tpu import cli
+        from depthvo_tpu.data.synthetic import SyntheticScenes
+        from depthvo_tpu.train import loop as train_loop
+
+        cfg = configs.tiny_test(batch_size=2)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, num_scales=3)
+        )
+        ckpt = str(tmp_path / "ckpt")
+        it = SyntheticScenes(cfg, seed=0).iterator(cfg.batch_size)
+        train_loop.fit(cfg, it, 1, checkpoint_dir=ckpt)
+
+        restored = configs.load_json(ckpt + "/config.json")
+        assert restored == cfg
+
+        args = TestMakeConfig()._args(checkpoint_dir=ckpt)
+        model = cli._load_model(args)
+        assert model.config == cfg
+        # The restored depth net really has 3 scales.
+        depth = model.inverse_depth(
+            jax.numpy.zeros((1, cfg.model.height, cfg.model.width, 3))
+        )
+        assert depth.shape == (1, cfg.model.height, cfg.model.width)

@@ -44,13 +44,16 @@ def odom_tree(tmp_path_factory):
     seq = "09"
     n = 12
     for i in range(n):
-        _write_png(
-            os.path.join(root, "sequences", seq, "image_2", f"{i:06d}.png"),
-            seed=100 + i,
-        )
+        for cam in ("image_2", "image_3"):
+            _write_png(
+                os.path.join(root, "sequences", seq, cam, f"{i:06d}.png"),
+                seed=(100 if cam == "image_2" else 500) + i,
+            )
     with open(os.path.join(root, "sequences", seq, "calib.txt"), "w") as f:
         f.write("P0: 7.1e+02 0.0 6.0e+02 0.0 0.0 7.1e+02 1.8e+02 0.0 0.0 0.0 1.0 0.0\n")
         f.write("P2: 7.2e+02 0.0 6.1e+02 0.0 0.0 7.3e+02 1.9e+02 0.0 0.0 0.0 1.0 0.0\n")
+        # P3: right color cam, t_x = -fx * baseline (0.54 m at fx=720).
+        f.write("P3: 7.2e+02 0.0 6.1e+02 -3.888e+02 0.0 7.3e+02 1.9e+02 0.0 0.0 0.0 1.0 0.0\n")
     # Ground truth: straight line, 0.8 m forward per frame.
     os.makedirs(os.path.join(root, "poses"), exist_ok=True)
     with open(os.path.join(root, "poses", seq + ".txt"), "w") as f:
@@ -74,13 +77,54 @@ class TestRawStereo:
         assert -1.0 <= sample["image_t"].min() <= sample["image_t"].max() <= 1.0
 
     def test_intrinsics_scaled_to_output(self, raw_tree):
+        """No S_rect in calib: the native size comes from frame 0's
+        header (fixture PNGs are 128x40), never a hardcoded 1242x375."""
         root, drive = raw_tree
         ds = kitti.KittiRawStereo(root, [drive], height=16, width=48)
         K = ds.samples[0][3]
-        # fx scaled by 48/1242, cx likewise.
+        assert K[0, 0] == pytest.approx(720.0 * 48 / 128, rel=1e-5)
+        assert K[1, 1] == pytest.approx(720.0 * 16 / 40, rel=1e-5)
+        assert K[2, 2] == 1.0
+
+    def test_intrinsics_prefer_calib_rect_size(self, raw_tree, tmp_path):
+        """With S_rect_02 recorded, the calib size wins over the header."""
+        import shutil
+
+        root, drive = raw_tree
+        root2 = str(tmp_path / "raw2")
+        shutil.copytree(root, root2)
+        calib = os.path.join(root2, "2011_09_26", "calib_cam_to_cam.txt")
+        with open(calib, "a") as f:
+            f.write("S_rect_02: 1.242000e+03 3.750000e+02\n")
+        ds = kitti.KittiRawStereo(root2, [drive], height=16, width=48)
+        K = ds.samples[0][3]
         assert K[0, 0] == pytest.approx(720.0 * 48 / 1242, rel=1e-5)
         assert K[1, 1] == pytest.approx(720.0 * 16 / 375, rel=1e-5)
-        assert K[2, 2] == 1.0
+
+    def test_per_drive_native_sizes(self, raw_tree):
+        """Drives with different native resolutions (e.g. the real
+        1226x370 2011_09_28+ campaigns) get per-drive scaled K — the
+        round-1 hardcoded orig_size bug (ADVICE.md)."""
+        root, drive = raw_tree
+        date = "2011_09_28"
+        drive2 = "2011_09_28_drive_0001_sync"
+        for cam in ("image_02", "image_03"):
+            for i in range(2):
+                _write_png(
+                    os.path.join(root, date, drive2, cam, "data", f"{i:010d}.png"),
+                    h=370, w=1226, seed=i,
+                )
+        with open(os.path.join(root, date, "calib_cam_to_cam.txt"), "w") as f:
+            f.write(
+                "P_rect_02: 7.2e+02 0.0 6.0e+02 0.0 "
+                "0.0 7.2e+02 1.8e+02 0.0 0.0 0.0 1.0 0.0\n"
+            )
+        ds = kitti.KittiRawStereo(root, [drive, drive2], height=16, width=48)
+        K1 = ds.samples[0][3]       # 128x40 drive
+        K2 = ds.samples[-1][3]      # 1226x370 drive
+        assert K1[0, 0] == pytest.approx(720.0 * 48 / 128, rel=1e-5)
+        assert K2[0, 0] == pytest.approx(720.0 * 48 / 1226, rel=1e-5)
+        assert K2[1, 1] == pytest.approx(720.0 * 16 / 370, rel=1e-5)
 
     def test_iterator_batches(self, raw_tree):
         root, drive = raw_tree
@@ -102,7 +146,8 @@ class TestOdometrySequence:
         s = kitti.KittiOdometrySequence(root, seq, height=16, width=48)
         assert len(s) == 12
         assert s.frame(0).shape == (16, 48, 3)
-        assert s.K[0, 0] == pytest.approx(720.0 * 48 / 1241, rel=1e-4)
+        # Native size read from frame 0's header (fixture PNGs 128x40).
+        assert s.K[0, 0] == pytest.approx(720.0 * 48 / 128, rel=1e-4)
         assert s.gt_poses.shape == (12, 4, 4)
         np.testing.assert_allclose(s.gt_poses[3][2, 3], 2.4)
 
@@ -116,6 +161,63 @@ class TestOdometrySequence:
         # First pair is frames (0, 1): channels 0-3 match frame 0.
         np.testing.assert_allclose(batches[0][0][..., :3], s.frame(0), atol=1e-6)
         np.testing.assert_allclose(batches[0][0][..., 3:], s.frame(1), atol=1e-6)
+
+
+class TestOdomStereoTraining:
+    """The reference's VO training data: stereo+temporal triples from
+    odometry sequences 00-08 (SURVEY.md §3.4/§6) — the round-1 gap where
+    KittiOdometrySequence was eval-only."""
+
+    def test_triples_and_contract(self, odom_tree):
+        root, seq = odom_tree
+        ds = kitti.KittiOdomStereo(root, [seq], height=16, width=48)
+        assert len(ds) == 11  # 12 frames -> 11 temporal pairs
+        s = ds.get(0)
+        assert s["image_t"].shape == (16, 48, 3)
+        assert s["image_r"].shape == (16, 48, 3)
+        assert s["image_s"].shape == (16, 48, 3)
+        # image_r really is the other camera (different fixture seed).
+        assert np.abs(s["image_t"] - s["image_r"]).max() > 0.1
+
+    def test_intrinsics_and_baseline_from_calib(self, odom_tree):
+        root, seq = odom_tree
+        ds = kitti.KittiOdomStereo(root, [seq], height=16, width=48)
+        K = ds.samples[0][3]
+        # P2 fx=720 scaled by 48/128 (fixture PNG width).
+        assert K[0, 0] == pytest.approx(720.0 * 48 / 128, rel=1e-5)
+        # Baseline from P3's -fx*b offset: 388.8 / 720 = 0.54 m.
+        assert ds.baselines[seq] == pytest.approx(0.54, rel=1e-4)
+
+    def test_missing_sequence_skipped(self, odom_tree):
+        root, seq = odom_tree
+        ds = kitti.KittiOdomStereo(root, [seq, "77"], height=16, width=48)
+        assert len(ds) == 11
+
+    def test_train_list_roundtrip(self, odom_tree, tmp_path):
+        from depthvo_tpu.data.kitti import load_train_list, write_train_list
+
+        root, seq = odom_tree
+        ds = kitti.KittiOdomStereo(root, [seq], height=16, width=48)
+        path = str(tmp_path / "odom_list.txt")
+        n = write_train_list(ds, path, root)
+        assert n == 11
+        ds2 = load_train_list(root, path, height=16, width=48)
+        a, b = ds.get(3), ds2.get(3)
+        for k in ("image_t", "image_r", "image_s"):
+            np.testing.assert_array_equal(a[k], b[k])
+        np.testing.assert_allclose(a["K"], b["K"], rtol=1e-5)
+
+    def test_prep_cli_odom(self, odom_tree, tmp_path):
+        from depthvo_tpu import cli
+
+        root, seq = odom_tree
+        out = str(tmp_path / "odom_list.txt")
+        rc = cli.main([
+            "prep", "--odom-root", root, "--sequences", seq,
+            "--height", "16", "--width", "48", "--output", out,
+        ])
+        assert rc == 0
+        assert len(open(out).read().splitlines()) == 11
 
 
 class TestOdometryEvalRunner:
