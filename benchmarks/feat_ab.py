@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""A/B: random-frozen vs contrastively-pretrained features (SURVEY §0 #3).
+
+The reference's best model ("Full-NYUv2") uses an externally-trained
+feature extractor for the feature reconstruction loss; the rebuild's
+replacement is in-framework contrastive pretraining (train/feat_pretrain).
+This experiment answers "does pretraining the features actually help?"
+on synthetic scenes with exact gt depth:
+
+  A. full_feat training, feat params RANDOM and frozen (the default).
+  B. identical run, feat params from N contrastive pretrain steps.
+
+Both arms share seeds, data, and step counts; the metric is depth abs-rel
+against the scenes' true depth after training. Prints one JSON line.
+
+Run: python benchmarks/feat_ab.py [--steps 300] [--pretrain-steps 300]
+(CPU mesh is fine: JAX_PLATFORMS=cpu JAX_PLATFORM_NAME=cpu.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def depth_abs_rel(state, scenes, cfg) -> float:
+    """abs-rel of the trained depth net vs the synthetic scenes' gt."""
+    import jax
+    import jax.numpy as jnp
+
+    from depthvo_tpu.train.state import build_models
+
+    depth_net, _, _ = build_models(cfg)
+    batch = scenes.fixed_batch(cfg.batch_size)
+    gt = np.stack(
+        [scenes._scenes[i % len(scenes._scenes)]["depth"]
+         for i in range(cfg.batch_size)]
+    )
+    variables = {"params": state.params["depth"], "batch_stats": state.batch_stats}
+    disp = depth_net.apply(variables, jnp.asarray(batch["image_t"]), train=False)[-1]
+    pred = 1.0 / np.asarray(disp[..., 0])
+    # Median-scale (the eval protocol) then abs-rel on the valid range.
+    scale = np.median(gt) / np.median(pred)
+    pred = pred * scale
+    return float(np.mean(np.abs(pred - gt) / gt))
+
+
+def run_arm(pretrained: bool, steps: int, pretrain_steps: int, seed: int) -> float:
+    import jax
+
+    from depthvo_tpu import configs
+    from depthvo_tpu.data.synthetic import SyntheticScenes
+    from depthvo_tpu.train import loop as train_loop
+    from depthvo_tpu.train.feat_pretrain import pretrain_features
+    from depthvo_tpu.train.state import create_state
+
+    cfg = configs.tiny_test(batch_size=4, seed=seed)
+    scenes = SyntheticScenes(cfg, seed=seed, num_scenes=4)
+    state = create_state(cfg, jax.random.PRNGKey(seed))
+    if pretrained:
+        feat_params = pretrain_features(
+            cfg, scenes.iterator(cfg.batch_size), pretrain_steps
+        )
+        params = dict(state.params)
+        params["feat"] = feat_params
+        state = state.replace(params=params)
+    state = train_loop.fit(
+        cfg, scenes.iterator(cfg.batch_size, fixed=True), steps, state=state
+    )
+    return depth_abs_rel(state, scenes, cfg)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--pretrain-steps", type=int, default=300)
+    ap.add_argument("--seeds", default="0,1")
+    args = ap.parse_args(argv)
+    seeds = [int(s) for s in args.seeds.split(",")]
+    rand = [run_arm(False, args.steps, args.pretrain_steps, s) for s in seeds]
+    pre = [run_arm(True, args.steps, args.pretrain_steps, s) for s in seeds]
+    out = {
+        "metric": "feat_ab_depth_abs_rel_synthetic",
+        "random_frozen_feat": [round(x, 4) for x in rand],
+        "pretrained_feat": [round(x, 4) for x in pre],
+        "mean_random": round(float(np.mean(rand)), 4),
+        "mean_pretrained": round(float(np.mean(pre)), 4),
+        "pretrained_wins": bool(np.mean(pre) <= np.mean(rand)),
+        "detail": {"steps": args.steps, "pretrain_steps": args.pretrain_steps,
+                   "seeds": seeds},
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -89,6 +89,8 @@ def cmd_train(args) -> int:
     cfg = _make_config(args)
     if args.init_from:
         cfg = dataclasses.replace(cfg, init_from=args.init_from)
+    if args.init_feat_from:
+        cfg = dataclasses.replace(cfg, init_feat_from=args.init_feat_from)
 
     mesh = pmesh.make_mesh(args.num_devices)
     print(f"mesh: {mesh.size} device(s) on axis 'data'; backend={jax.default_backend()}")
@@ -120,7 +122,7 @@ def cmd_train(args) -> int:
 
         drives = [d.strip() for d in args.drives.split(",") if d.strip()]
         ds = KittiRawStereo(args.kitti_root, drives, cfg.model.height, cfg.model.width)
-        it = ds.iterator(cfg.batch_size)
+        it = ds.iterator(cfg.batch_size, native_ring=args.native_ring)
         print(f"KITTI raw: {len(ds)} training samples from {len(drives)} drives")
     else:
         print("no --kitti-root given: training on synthetic scenes")
@@ -249,6 +251,56 @@ def cmd_prep(args) -> int:
     return 0
 
 
+def cmd_pretrain_feat(args) -> int:
+    """Contrastive feature-extractor pretraining — the in-framework
+    replacement for the reference's externally-trained NYUv2 feature
+    weights (SURVEY.md §0 item 3). Saves a checkpoint whose 'feat' params
+    plug into stage 3 via ``train --init-feat-from <dir>``."""
+    import jax
+
+    from depthvo_tpu.data.synthetic import SyntheticScenes
+    from depthvo_tpu.io import checkpoint as ckpt_io
+    from depthvo_tpu.train.feat_pretrain import pretrain_features
+    from depthvo_tpu.train.state import create_state
+
+    cfg = _make_config(args)
+    if args.train_list:
+        from depthvo_tpu.data.kitti import load_train_list
+
+        ds = load_train_list(
+            args.kitti_root or ".", args.train_list, cfg.model.height, cfg.model.width
+        )
+        it = ds.iterator(cfg.batch_size)
+        print(f"pretraining features on {len(ds)} frames from {args.train_list}")
+    elif args.kitti_root:
+        from depthvo_tpu.data.kitti import KittiRawStereo
+
+        drives = [d.strip() for d in args.drives.split(",") if d.strip()]
+        ds = KittiRawStereo(args.kitti_root, drives, cfg.model.height, cfg.model.width)
+        it = ds.iterator(cfg.batch_size)
+        print(f"pretraining features on {len(ds)} KITTI frames")
+    else:
+        print("no --kitti-root given: pretraining on synthetic scenes")
+        it = SyntheticScenes(cfg, seed=cfg.seed).iterator(cfg.batch_size)
+
+    def log(step, loss):
+        if step % max(1, args.steps // 20) == 0 or step == args.steps - 1:
+            print(f"pretrain step {step}: infonce={loss:.5f}", flush=True)
+
+    feat_params = pretrain_features(cfg, it, args.steps, log_fn=log)
+
+    # Package as a standard checkpoint (full state, pretrained 'feat').
+    state = create_state(cfg, jax.random.PRNGKey(cfg.seed))
+    params = dict(state.params)
+    params["feat"] = feat_params
+    state = state.replace(params=params)
+    mgr = ckpt_io.make_manager(args.checkpoint_dir or "./feat_ckpt")
+    ckpt_io.save(mgr, state)
+    mgr.wait_until_finished()
+    print(f"saved pretrained features to {args.checkpoint_dir or './feat_ckpt'}")
+    return 0
+
+
 def cmd_prep_eigen(args) -> int:
     """Generate Eigen-split gt depth from raw velodyne + the eval list —
     the reference's velodyne-derived gt pipeline (SURVEY.md §3.2). After
@@ -309,12 +361,17 @@ def main(argv=None) -> int:
                    help="prepared sample list (see the `prep` subcommand)")
     p.add_argument("--init-from", default=None,
                    help="previous stage checkpoint (staged finetune)")
+    p.add_argument("--init-feat-from", default=None,
+                   help="pretrain-feat checkpoint: overrides 'feat' params")
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="optimizer steps per dispatch (lax.scan)")
     p.add_argument("--debug-nans", action="store_true",
                    help="abort on the first non-finite value (diagnostics)")
     p.add_argument("--log-jsonl", default=None,
                    help="also append per-step metrics as JSONL here")
+    p.add_argument("--native-ring", default=None,
+                   type=lambda s: s.lower() in ("1", "true", "yes"),
+                   help="force the C++ prefetch ring on/off (default: auto)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval-depth", help="Eigen-split depth metrics")
@@ -348,6 +405,17 @@ def main(argv=None) -> int:
     p.add_argument("--sequences", default="00,01,02,03,04,05,06,07,08")
     p.add_argument("--output", default="train_list.txt")
     p.set_defaults(fn=cmd_prep)
+
+    p = sub.add_parser(
+        "pretrain-feat",
+        help="contrastive feature pretraining (replaces external NYUv2 weights)",
+    )
+    _add_common(p)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--kitti-root", default=None)
+    p.add_argument("--drives", default="")
+    p.add_argument("--train-list", default=None)
+    p.set_defaults(fn=cmd_pretrain_feat)
 
     p = sub.add_parser(
         "prep-eigen",

@@ -99,6 +99,10 @@ class ExperimentConfig:
     log_every: int = 100
     checkpoint_every: int = 2_000
     init_from: str | None = None  # previous stage checkpoint dir
+    # Separate feature-extractor init (the analog of the reference's
+    # externally-trained NYUv2 feature weights): a pretrain-feat
+    # checkpoint dir whose 'feat' params override whatever init_from set.
+    init_feat_from: str | None = None
 
 
 def to_dict(cfg: ExperimentConfig) -> dict:

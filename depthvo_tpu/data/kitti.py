@@ -209,14 +209,30 @@ class KittiRawStereo:
         seed: int = 0,
         shuffle: bool = True,
         num_workers: int = 4,
+        native_ring: bool | None = None,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Infinite epoch-shuffled batch iterator.
 
-        Decoding runs on a thread pool (3 images per sample x batch);
-        with the native C++ decoder this parallelizes cleanly (the work
-        is outside the GIL), mirroring Caffe's multi-threaded
-        data_transformer (SURVEY.md §2b(ii)).
+        Two host pipelines (both mirror Caffe's multi-threaded
+        data_transformer, SURVEY.md §2b(ii)):
+
+        * ``native_ring=True`` — the C++ prefetch ring
+          (native/dataloader.cpp): decode+resize+normalize AND batch
+          assembly run on C++ threads; Python only copies ready float32
+          buffers (throughput numbers: benchmarks/host_pipeline.py).
+        * default — a Python ThreadPoolExecutor calling ``self.get``
+          (native per-image decode when available, PIL otherwise).
+
+        ``native_ring=None`` picks the ring when the native library
+        builds and all samples are PNGs.
         """
+        if native_ring is None:
+            native_ring = bool(_native()) and all(
+                p.lower().endswith(".png") for p, _, _, _ in self.samples[:8]
+            )
+        if native_ring:
+            yield from self._native_ring_iterator(batch_size, seed, shuffle)
+            return
         from concurrent.futures import ThreadPoolExecutor
 
         rng = np.random.default_rng(seed)
@@ -231,6 +247,53 @@ class KittiRawStereo:
                     yield {
                         k: np.stack([it[k] for it in items]) for k in items[0]
                     }
+
+    def _native_ring_iterator(
+        self, batch_size: int, seed: int = 0, shuffle: bool = True
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """C++ prefetch-ring pipeline yielding the same batch contract.
+
+        Triple paths are flattened [lt, rt, ls] per sample with the
+        SAMPLE order pre-shuffled once; the ring runs sequentially
+        (shuffle=False) so each (lt, rt, ls) triple stays contiguous —
+        the ring's wrap point (a multiple of 3) never splits one.
+        Falls back to the thread-pool path on any decode failure
+        (non-8-bit PNG etc.).
+        """
+        from depthvo_tpu.data import native_loader
+
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(self.samples)) if shuffle else np.arange(
+            len(self.samples)
+        )
+        paths: List[str] = []
+        Ks: List[np.ndarray] = []
+        for i in order:
+            lt, rt, ls, K = self.samples[int(i)]
+            paths.extend((lt, rt, ls))
+            Ks.append(K)
+        ring = native_loader.NativeBatchLoader(
+            paths, 3 * batch_size, self.height, self.width, shuffle=False
+        )
+        try:
+            while True:
+                try:
+                    imgs, idx = ring.next()
+                except ValueError:
+                    # Undecodable image in the set: bail to the PIL path.
+                    yield from self.iterator(
+                        batch_size, seed=seed, shuffle=shuffle, native_ring=False
+                    )
+                    return
+                sample_rows = idx[0::3] // 3
+                yield {
+                    "image_t": imgs[0::3],
+                    "image_r": imgs[1::3],
+                    "image_s": imgs[2::3],
+                    "K": np.stack([Ks[int(s)] for s in sample_rows]),
+                }
+        finally:
+            ring.close()
 
 
 def write_train_list(dataset: "KittiRawStereo", path: str, root: str) -> int:

@@ -46,6 +46,25 @@ def maybe_restore(mgr: ocp.CheckpointManager, state: TrainState) -> TrainState:
     return mgr.restore(step, args=ocp.args.StandardRestore(state))
 
 
+def restore_param_subtree(directory: str, state: TrainState, key: str) -> TrainState:
+    """Replace ONE top-level param subtree ('depth'/'odom'/'feat') from a
+    checkpoint directory, keeping everything else — the staged-recipe
+    combinator (e.g. depth+odom from stage 2, feat from pretrain-feat)."""
+    mgr = make_manager(directory)
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found in {directory}")
+    restored = _restore_raw_resharded(mgr, step)
+    r_params = restored["params"]
+    if key not in r_params or not r_params[key]:
+        raise KeyError(f"checkpoint in {directory} has no '{key}' params")
+    new_params = dict(state.params)
+    new_params[key] = jax.tree.map(
+        lambda _, v: jax.numpy.asarray(v), state.params[key], r_params[key]
+    )
+    return state.replace(params=new_params)
+
+
 def _restore_raw_resharded(mgr: ocp.CheckpointManager, step: int) -> Any:
     """Restore the raw checkpoint pytree onto the CURRENT devices.
 

@@ -227,7 +227,9 @@ def make_train_step(
     )
 
 
-def make_scan_train_step(config: ExperimentConfig, mesh=None, steps_per_call: int = 8):
+def make_scan_train_step(
+    config: ExperimentConfig, mesh=None, steps_per_call: int = 8, unroll: int = 1
+):
     """Multiple optimizer steps per dispatch via ``lax.scan``.
 
     The reference pays a Python->C++ transition per Caffe iteration
@@ -263,7 +265,7 @@ def make_scan_train_step(config: ExperimentConfig, mesh=None, steps_per_call: in
             metrics["grad/global_norm"] = _global_norm(grads)
             return new_st, metrics
 
-        state, metrics = jax.lax.scan(body, state, batches)
+        state, metrics = jax.lax.scan(body, state, batches, unroll=unroll)
         last = jax.tree.map(lambda m: m[-1], metrics)
         return state, last
 
@@ -340,6 +342,12 @@ def fit(
             from depthvo_tpu.io import checkpoint as ckpt_io
 
             state = ckpt_io.restore_weights(config.init_from, state)
+        if config.init_feat_from:
+            from depthvo_tpu.io import checkpoint as ckpt_io
+
+            state = ckpt_io.restore_param_subtree(
+                config.init_feat_from, state, "feat"
+            )
     state = jax.device_put(state, pmesh.replicated(mesh))
     if steps_per_call > 1:
         step_fn = make_scan_train_step(config, mesh, steps_per_call)

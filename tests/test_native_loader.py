@@ -130,3 +130,90 @@ class TestBatchLoader:
         with pytest.raises(ValueError):
             loader.next()
         loader.close()
+
+
+class TestRingIterator:
+    """KittiRawStereo.iterator(native_ring=True): the C++ ring must yield
+    the SAME triples + intrinsics as the thread-pool path (round-1 gap:
+    the ring was bound and tested but wired into nothing)."""
+
+    def _tree(self, tmp_path):
+        from PIL import Image
+
+        root = str(tmp_path)
+        date = "2011_09_26"
+        drive = "2011_09_26_drive_0001_sync"
+        rng = np.random.default_rng(3)
+        for cam in ("image_02", "image_03"):
+            d = os.path.join(root, date, drive, cam, "data")
+            os.makedirs(d, exist_ok=True)
+            for i in range(5):
+                Image.fromarray(
+                    rng.integers(0, 255, (40, 128, 3), dtype=np.uint8)
+                ).save(os.path.join(d, f"{i:010d}.png"))
+        with open(os.path.join(root, date, "calib_cam_to_cam.txt"), "w") as f:
+            f.write(
+                "P_rect_02: 7.2e+02 0.0 6.0e+02 0.0 0.0 7.2e+02 1.8e+02 0.0 "
+                "0.0 0.0 1.0 0.0\n"
+            )
+        return root, drive
+
+    def test_matches_thread_pool_path(self, tmp_path):
+        from depthvo_tpu.data.kitti import KittiRawStereo
+
+        root, drive = self._tree(tmp_path)
+        ds = KittiRawStereo(root, [drive], height=16, width=48)
+        # Same seed + shuffle order in both pipelines -> identical batches.
+        ring_batches = []
+        it_ring = ds.iterator(2, seed=5, native_ring=True)
+        for _ in range(2):
+            ring_batches.append(next(it_ring))
+        it_ring.close()
+
+        # Reconstruct the ring's one-shot order with the pool path by
+        # matching content per sample (orders differ by design).
+        def key(img):
+            return tuple(np.round(img.reshape(-1)[:8], 5))
+
+        pool_by_key = {}
+        it_pool = ds.iterator(2, seed=0, shuffle=False, native_ring=False)
+        for _ in range(2):
+            b = next(it_pool)
+            for j in range(2):
+                pool_by_key[key(b["image_t"][j])] = {
+                    k: b[k][j] for k in b
+                }
+        matched = 0
+        for b in ring_batches:
+            for j in range(b["image_t"].shape[0]):
+                m = pool_by_key.get(key(b["image_t"][j]))
+                if m is None:
+                    continue
+                matched += 1
+                for k in ("image_t", "image_r", "image_s"):
+                    np.testing.assert_allclose(b[k][j], m[k], atol=1e-6)
+                np.testing.assert_allclose(b["K"][j], m["K"], rtol=1e-6)
+        assert matched >= 2  # shuffled ring overlaps the first pool epoch
+
+    def test_ring_keeps_triples_contiguous_across_wrap(self, tmp_path):
+        from depthvo_tpu.data.kitti import KittiRawStereo
+
+        root, drive = self._tree(tmp_path)
+        ds = KittiRawStereo(root, [drive], height=16, width=48)  # 4 samples
+        def key(img):
+            return tuple(np.round(img.reshape(-1)[:8], 5))
+
+        truth = {}
+        for i in range(len(ds)):
+            s = ds.get(i)
+            truth[key(s["image_t"])] = s
+        it = ds.iterator(3, seed=1, native_ring=True)  # 3 !| 4: wraps mid-epoch
+        for _ in range(5):
+            b = next(it)
+            # Every row must be a consistent triple: image_r/image_s are
+            # image_t's true companions, never a mixed-up neighbor's.
+            for j in range(3):
+                s = truth[key(b["image_t"][j])]
+                np.testing.assert_allclose(b["image_r"][j], s["image_r"], atol=1e-6)
+                np.testing.assert_allclose(b["image_s"][j], s["image_s"], atol=1e-6)
+        it.close()
