@@ -91,6 +91,15 @@ class ExperimentConfig:
     edge_aware_smoothness: bool = True
     stereo_baseline: float = KITTI_STEREO_BASELINE
 
+    # Vertical half-window (rows) of the Pallas general-warp kernel at the
+    # finest scale; coarser scales halve it adaptively (ops.frozen_warp).
+    # Samples with larger vertical displacement are masked invalid.
+    # Quantified on KITTI-scale synthetic scenes (tests/test_warp_window.py):
+    # 16 drops 0.00% of otherwise-valid pixels at <= 1.6 m/frame ego-motion
+    # (58 km/h at 10 Hz) and 0.75% at 2.4 m/frame with 4-10 m obstacles;
+    # 24 drops 0.00% in every tested scene. Raise for extreme motion.
+    warp_pad_v: int = 16
+
     # Train feat net jointly (False == reference: frozen feature extractor).
     train_feat: bool = False
 

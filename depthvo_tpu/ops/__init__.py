@@ -35,7 +35,8 @@ def fused_warp(src, depth, T, K, use_pallas: bool | None = None):
     return _ref_warp.inverse_warp(src, depth, T, K)
 
 
-def frozen_warp(src, depth, T, K, use_pallas: bool | None = None):
+def frozen_warp(src, depth, T, K, use_pallas: bool | None = None,
+                pad_v: int | None = None):
     """General inverse warp of a NON-differentiated source.
 
     The temporal photometric and (frozen-)feature losses warp constant
@@ -45,7 +46,9 @@ def frozen_warp(src, depth, T, K, use_pallas: bool | None = None):
     to depth and pose; ``src`` receives none (stop_gradient applied).
 
     Kernel mask addendum (TPU path): vertical displacement beyond
-    ``GEN_PAD_V - 1`` rows or horizontal beyond 127 px is invalid.
+    ``pad_v - 1`` rows (default ``GEN_PAD_V``; see
+    ``configs.base.ExperimentConfig.warp_pad_v`` for the quantified
+    coverage) or horizontal beyond 127 px is invalid.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -56,9 +59,12 @@ def frozen_warp(src, depth, T, K, use_pallas: bool | None = None):
         Hp = -(-H // 8) * 8
         # Adaptive vertical window: coarse pyramid scales have 1/2^k the
         # vertical displacement, so a smaller pad still covers the motion.
-        pad_v = warp_pallas.GEN_PAD_V
+        if pad_v is None:
+            pad_v = warp_pallas.GEN_PAD_V
+        if pad_v % 8:
+            raise ValueError(f"pad_v must be a multiple of 8, got {pad_v}")
         while pad_v > 8 and Hp < 2 * pad_v + 8:
-            pad_v //= 2
+            pad_v = max(8, (pad_v // 2 + 7) // 8 * 8)
         if Hp >= 2 * pad_v + 8:
             return warp_pallas.general_warp_frozen_src(src, depth, T, K, pad_v=pad_v)
     return _ref_warp.inverse_warp(jax.lax.stop_gradient(src), depth, T, K)

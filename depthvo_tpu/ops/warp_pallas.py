@@ -99,15 +99,20 @@ def _bounded_taps(rows, rows_r, u0, ob, n_back, n_blocks):
 
 
 def _stereo_fwd_kernel(src_ref, u_ref, out_ref, *, n_back):
-    C, H, W = src_ref.shape
-    t = pl.program_id(1)
+    """src_ref is the (C, TILE_ROWS, W) block of the CURRENT tile row —
+    the stereo warp is epipolar-horizontal (v == y exactly), so each
+    output tile reads only its own source rows. Keeping the block
+    tile-sized (instead of the whole image) bounds VMEM at ~C*8*W floats
+    and lets the pipeline stream source rows alongside coordinates."""
+    C = src_ref.shape[0]
+    W = src_ref.shape[2]
     u = u_ref[:]
     u0f = jnp.floor(u)
     au = u - u0f
     u0 = jnp.clip(u0f.astype(jnp.int32), 0, W - 1)
     n_blocks = W // LANE
     for c in range(C):
-        rows = src_ref[c, pl.ds(t * TILE_ROWS, TILE_ROWS), :]
+        rows = src_ref[c, :, :]
         rows_r = pltpu.roll(rows, shift=W - 1, axis=1)
         for ob in range(n_blocks):
             lo = ob * LANE
@@ -119,15 +124,15 @@ def _stereo_fwd_kernel(src_ref, u_ref, out_ref, *, n_back):
 
 def _stereo_bwd_u_kernel(src_ref, g_ref, u_ref, out_ref, *, n_back):
     """d_u[i,j] = sum_c g[c,i,j] * (s1[c,i,j] - s0[c,i,j])."""
-    C, H, W = src_ref.shape
-    t = pl.program_id(1)
+    C = src_ref.shape[0]
+    W = src_ref.shape[2]
     u = u_ref[:]
     u0f = jnp.floor(u)
     u0 = jnp.clip(u0f.astype(jnp.int32), 0, W - 1)
     n_blocks = W // LANE
     acc = jnp.zeros((TILE_ROWS, W), jnp.float32)
     for c in range(C):
-        rows = src_ref[c, pl.ds(t * TILE_ROWS, TILE_ROWS), :]
+        rows = src_ref[c, :, :]
         rows_r = pltpu.roll(rows, shift=W - 1, axis=1)
         g = g_ref[c, :, :]
         parts = []
@@ -193,7 +198,7 @@ def _stereo_sample_impl(src, u, dmax):
         kernel,
         grid=(B, Hp // TILE_ROWS),
         in_specs=[
-            pl.BlockSpec((None, C, Hp, Wp), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, C, TILE_ROWS, Wp), lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, TILE_ROWS, Wp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -228,7 +233,7 @@ def _stereo_sample_bwd(dmax, res, g):
         functools.partial(_stereo_bwd_u_kernel, n_back=n_back),
         grid=(B, Hp // TILE_ROWS),
         in_specs=[
-            pl.BlockSpec((None, C, Hp, Wp), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, C, TILE_ROWS, Wp), lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, C, TILE_ROWS, Wp), lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, TILE_ROWS, Wp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
         ],
@@ -279,7 +284,9 @@ _stereo_sample.defvjp(_stereo_sample_fwd, _stereo_sample_bwd)
 # |v - row| <= pad_v - 1 and horizontal displacement |u - col| <= 127.
 # --------------------------------------------------------------------------
 
-GEN_PAD_V = 16  # vertical half-window (rows; multiple of 8)
+GEN_PAD_V = 16  # vertical half-window (rows; MUST be a multiple of 8 —
+#                 the window start and the BlockSpec row-block indices are
+#                 tile-aligned). Coverage quantified in tests/test_warp_window.py.
 
 
 def _gen_coords(u_ref, v_ref, s, rv, W):
@@ -312,13 +319,15 @@ def _hgather_row(blk, blk_r, u0, ob, n_blocks):
     return s0, s1
 
 
-def _gen_row_candidates(table, table_r, u0, au, dv, dv1, rv, n_blocks, consume):
+def _gen_row_candidates(tables, u0, au, dv, dv1, rv, n_blocks, consume):
     """Per-source-row candidates: for each window row r the horizontal
-    resample H_r[i,j] = lerp(table[r, u0[i,j]], table[r, u0[i,j]+1]) is
-    keyed entirely at the output pixel, and the true bilinear taps select
-    rows with dv == r (v0 tap) / dv+1 == r (v1 tap). Decoupled from the
-    output sublane index, so window clamping at image edges stays exact.
+    resample H_r[i,j] = lerp(row_r[u0[i,j]], row_r[u0[i,j]+1]) is keyed
+    entirely at the output pixel, and the true bilinear taps select rows
+    with dv == r (v0 tap) / dv+1 == r (v1 tap). Decoupled from the output
+    sublane index, so window clamping at image edges stays exact.
 
+    ``tables``: list of rv//8 (8, W) window row-blocks with their
+    1-lane-rotated twins — row r lives at tables[r // 8][r % 8].
     ``consume(h, slope, sel0, sel1, ob)`` receives, per output lane-block,
     the interped row values, the horizontal lerp slope (s1-s0), and the
     two vertical-tap selectors (float masks).
@@ -329,9 +338,13 @@ def _gen_row_candidates(table, table_r, u0, au, dv, dv1, rv, n_blocks, consume):
 
         @pl.when(hit)
         def _(r=r):
-            blk = jnp.broadcast_to(table[r : r + 1, :], (TILE_ROWS, table.shape[1]))
+            rows, rows_r = tables[r // TILE_ROWS]
+            W = rows.shape[1]
+            blk = jnp.broadcast_to(
+                rows[r % TILE_ROWS : r % TILE_ROWS + 1, :], (TILE_ROWS, W)
+            )
             blk_r = jnp.broadcast_to(
-                table_r[r : r + 1, :], (TILE_ROWS, table.shape[1])
+                rows_r[r % TILE_ROWS : r % TILE_ROWS + 1, :], (TILE_ROWS, W)
             )
             for ob in range(n_blocks):
                 lo = ob * LANE
@@ -344,16 +357,33 @@ def _gen_row_candidates(table, table_r, u0, au, dv, dv1, rv, n_blocks, consume):
                 consume(h, slope, sel0, sel1, ob)
 
 
-def _gen_fwd_kernel(src_ref, u_ref, v_ref, out_ref, *, rv, pad_v):
-    C, H, W = src_ref.shape
+def _gen_window_tables(srow_refs, c, W):
+    """Load channel ``c`` of each window row-block + its lane-rotated twin."""
+    tables = []
+    for ref in srow_refs:
+        rows = ref[c, :, :]
+        tables.append((rows, pltpu.roll(rows, shift=W - 1, axis=1)))
+    return tables
+
+
+def _gen_fwd_kernel(*refs, rv, pad_v, Hp):
+    """Window source blocks: the kernel receives rv//8 row-blocks of the
+    source (shifted per-tile via the BlockSpec index maps) instead of the
+    whole image — VMEM per buffer is C*rv*W floats, not C*H*W, which
+    keeps the 19-channel fused RGB+feature payload far below the scoped
+    VMEM limit and streams only the reachable window from HBM."""
+    nv = rv // TILE_ROWS
+    srow_refs = refs[:nv]
+    u_ref, v_ref, out_ref = refs[nv], refs[nv + 1], refs[nv + 2]
+    C = srow_refs[0].shape[0]
+    W = srow_refs[0].shape[2]
     t = pl.program_id(1)
-    s = pl.multiple_of(jnp.clip(t * TILE_ROWS - pad_v, 0, H - rv), TILE_ROWS)
+    s = pl.multiple_of(jnp.clip(t * TILE_ROWS - pad_v, 0, Hp - rv), TILE_ROWS)
     u0, au, av, dv, dv1 = _gen_coords(u_ref, v_ref, s, rv, W)
     n_blocks = W // LANE
     for c in range(C):
         out_ref[c, :, :] = jnp.zeros((TILE_ROWS, W), jnp.float32)
-        table = src_ref[c, pl.ds(s, rv), :]
-        table_r = pltpu.roll(table, shift=W - 1, axis=1)
+        tables = _gen_window_tables(srow_refs, c, W)
 
         def consume(h, slope, sel0, sel1, ob, c=c):
             lo = ob * LANE
@@ -362,21 +392,25 @@ def _gen_fwd_kernel(src_ref, u_ref, v_ref, out_ref, *, rv, pad_v):
                 (1.0 - a_v) * sel0 + a_v * sel1
             )
 
-        _gen_row_candidates(table, table_r, u0, au, dv, dv1, rv, n_blocks, consume)
+        _gen_row_candidates(tables, u0, au, dv, dv1, rv, n_blocks, consume)
 
 
-def _gen_bwd_kernel(src_ref, g_ref, u_ref, v_ref, du_ref, dv_ref, *, rv, pad_v):
+def _gen_bwd_kernel(*refs, rv, pad_v, Hp):
     """d_u[i,j] = sum_c g * slope * w_v ; d_v[i,j] = sum_c g * (h1 - h0)."""
-    C, H, W = src_ref.shape
+    nv = rv // TILE_ROWS
+    srow_refs = refs[:nv]
+    g_ref, u_ref, v_ref = refs[nv], refs[nv + 1], refs[nv + 2]
+    du_ref, dv_ref = refs[nv + 3], refs[nv + 4]
+    C = srow_refs[0].shape[0]
+    W = srow_refs[0].shape[2]
     t = pl.program_id(1)
-    s = pl.multiple_of(jnp.clip(t * TILE_ROWS - pad_v, 0, H - rv), TILE_ROWS)
+    s = pl.multiple_of(jnp.clip(t * TILE_ROWS - pad_v, 0, Hp - rv), TILE_ROWS)
     u0, au, av, dv, dv1 = _gen_coords(u_ref, v_ref, s, rv, W)
     n_blocks = W // LANE
     du_ref[:, :] = jnp.zeros((TILE_ROWS, W), jnp.float32)
     dv_ref[:, :] = jnp.zeros((TILE_ROWS, W), jnp.float32)
     for c in range(C):
-        table = src_ref[c, pl.ds(s, rv), :]
-        table_r = pltpu.roll(table, shift=W - 1, axis=1)
+        tables = _gen_window_tables(srow_refs, c, W)
         g = g_ref[c, :, :]
 
         def consume(h, slope, sel0, sel1, ob, c=c, g=g):
@@ -388,14 +422,29 @@ def _gen_bwd_kernel(src_ref, g_ref, u_ref, v_ref, du_ref, dv_ref, *, rv, pad_v):
             )
             dv_ref[:, lo : lo + LANE] += gg * h * (sel1 - sel0)
 
-        _gen_row_candidates(table, table_r, u0, au, dv, dv1, rv, n_blocks, consume)
+        _gen_row_candidates(tables, u0, au, dv, dv1, rv, n_blocks, consume)
 
 
-def _gen_specs(B, C, Hp, Wp):
-    src_spec = pl.BlockSpec((None, C, Hp, Wp), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+def _gen_specs(B, C, Hp, Wp, pad_v):
+    """Input specs: rv//8 source row-block views (the k-th maps to window
+    block-row clip(t - pad_v/8, 0, (Hp-rv)/8) + k — same start the kernel
+    recomputes as ``s``), then the per-tile coordinate planes."""
+    rv = 2 * pad_v + TILE_ROWS
+    nv = rv // TILE_ROWS
+    pv8 = pad_v // TILE_ROWS
+    sb_max = (Hp - rv) // TILE_ROWS
+
+    def srow_spec(k):
+        return pl.BlockSpec(
+            (None, C, TILE_ROWS, Wp),
+            lambda b, t, k=k: (b, 0, jnp.clip(t - pv8, 0, sb_max) + k, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    srow_specs = [srow_spec(k) for k in range(nv)]
     tile_spec = pl.BlockSpec((None, TILE_ROWS, Wp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
     ctile_spec = pl.BlockSpec((None, C, TILE_ROWS, Wp), lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM)
-    return src_spec, tile_spec, ctile_spec
+    return srow_specs, tile_spec, ctile_spec
 
 
 def _gen_sample_impl(src, u, v, pad_v):
@@ -406,14 +455,14 @@ def _gen_sample_impl(src, u, v, pad_v):
     src_chw = _pad_hw(jnp.transpose(src.astype(jnp.float32), (0, 3, 1, 2)), Hp, Wp, H, W)
     up = _pad_hw(jnp.clip(u, 0.0, W - 1), Hp, Wp, H, W)
     vp = _pad_hw(jnp.clip(v, 0.0, H - 1), Hp, Wp, H, W)
-    src_spec, tile_spec, ctile_spec = _gen_specs(B, C, Hp, Wp)
+    srow_specs, tile_spec, ctile_spec = _gen_specs(B, C, Hp, Wp, pad_v)
     out = _pallas_call(
-        functools.partial(_gen_fwd_kernel, rv=rv, pad_v=pad_v),
+        functools.partial(_gen_fwd_kernel, rv=rv, pad_v=pad_v, Hp=Hp),
         grid=(B, Hp // TILE_ROWS),
-        in_specs=[src_spec, tile_spec, tile_spec],
+        in_specs=[*srow_specs, tile_spec, tile_spec],
         out_specs=ctile_spec,
         out_shape=jax.ShapeDtypeStruct((B, C, Hp, Wp), jnp.float32),
-    )(src_chw, up, vp)
+    )(*([src_chw] * len(srow_specs)), up, vp)
     return jnp.transpose(out[:, :, :H, :W], (0, 2, 3, 1)).astype(src.dtype)
 
 
@@ -436,22 +485,42 @@ def _gen_sample_bwd(pad_v, res, g):
     g_chw = _pad_hw(jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2)), Hp, Wp, H, W)
     up = _pad_hw(jnp.clip(u, 0.0, W - 1), Hp, Wp, H, W)
     vp = _pad_hw(jnp.clip(v, 0.0, H - 1), Hp, Wp, H, W)
-    src_spec, tile_spec, ctile_spec = _gen_specs(B, C, Hp, Wp)
+    srow_specs, tile_spec, ctile_spec = _gen_specs(B, C, Hp, Wp, pad_v)
     d_u, d_v = _pallas_call(
-        functools.partial(_gen_bwd_kernel, rv=rv, pad_v=pad_v),
+        functools.partial(_gen_bwd_kernel, rv=rv, pad_v=pad_v, Hp=Hp),
         grid=(B, Hp // TILE_ROWS),
-        in_specs=[src_spec, ctile_spec, tile_spec, tile_spec],
+        in_specs=[*srow_specs, ctile_spec, tile_spec, tile_spec],
         out_specs=(tile_spec, tile_spec),
         out_shape=(
             jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
             jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
         ),
-    )(src_chw, g_chw, up, vp)
+    )(*([src_chw] * len(srow_specs)), g_chw, up, vp)
     # Frozen source by contract: no scatter-shaped d_src is computed.
     return jnp.zeros_like(src), d_u[:, :H, :W], d_v[:, :H, :W]
 
 
 _gen_sample.defvjp(_gen_sample_fwd, _gen_sample_bwd)
+
+
+def window_mask(u, v, H: int, W: int, pad_v: int):
+    """The general kernel's reach mask: True where the (u, v) sample's
+    bilinear footprint lies inside the kernel's per-tile source window
+    (vertical) and lane-block neighborhood (horizontal, |u - col| <= 127).
+
+    Shared by ``general_warp_frozen_src`` (to build ``valid``) and the
+    coverage-quantification tests (tests/test_warp_window.py), so the
+    documented drop fractions measure exactly the shipped mask.
+    """
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    rows = jax.lax.broadcasted_iota(jnp.float32, v.shape, dimension=1)
+    cols = jax.lax.broadcasted_iota(jnp.float32, u.shape, dimension=2)
+    rv = 2 * pad_v + TILE_ROWS
+    tile = (rows // TILE_ROWS).astype(jnp.int32)
+    Hp = -(-H // TILE_ROWS) * TILE_ROWS
+    s = jnp.clip(tile * TILE_ROWS - pad_v, 0, Hp - rv)
+    return (v0 >= s) & (v0 + 1 <= s + rv - 1) & (jnp.abs(u - cols) <= LANE - 1)
 
 
 def general_warp_frozen_src(src, depth, T, K, pad_v: int = GEN_PAD_V):
@@ -464,24 +533,25 @@ def general_warp_frozen_src(src, depth, T, K, pad_v: int = GEN_PAD_V):
 
     Additional mask semantics vs the reference: samples with vertical
     displacement |v - row| > pad_v - 1 or horizontal displacement
-    |u - col| > 127 are invalid (windowed kernel; generous for rigid
-    KITTI-scale motion).
+    |u - col| > 127 are invalid (windowed kernel; coverage quantified in
+    tests/test_warp_window.py — 0.00% of otherwise-valid pixels dropped
+    at KITTI-scale motion up to 1.6 m/frame with the default pad).
     """
     B, H, W, C = src.shape
+    Hp = -(-H // TILE_ROWS) * TILE_ROWS
+    if pad_v <= 0 or pad_v % TILE_ROWS:
+        raise ValueError(f"pad_v must be a positive multiple of {TILE_ROWS}, got {pad_v}")
+    if Hp < 2 * pad_v + TILE_ROWS:
+        raise ValueError(
+            f"padded height {Hp} < window {2 * pad_v + TILE_ROWS}; reduce pad_v"
+        )
     src = jax.lax.stop_gradient(src)
     coords, front = ref_warp.warp_coords(depth, T, K)
     u, v = coords[..., 0], coords[..., 1]
     u0 = jnp.floor(u)
     v0 = jnp.floor(v)
     in_bounds = (u0 >= 0.0) & (u0 + 1.0 <= W - 1) & (v0 >= 0.0) & (v0 + 1.0 <= H - 1)
-    rows = jax.lax.broadcasted_iota(jnp.float32, v.shape, dimension=1)
-    cols = jax.lax.broadcasted_iota(jnp.float32, u.shape, dimension=2)
-    rv = 2 * pad_v + TILE_ROWS
-    tile = (rows // TILE_ROWS).astype(jnp.int32)
-    Hp = -(-H // TILE_ROWS) * TILE_ROWS
-    s = jnp.clip(tile * TILE_ROWS - pad_v, 0, Hp - rv)
-    window_ok = (v0 >= s) & (v0 + 1 <= s + rv - 1) & (jnp.abs(u - cols) <= LANE - 1)
-    valid = in_bounds & front & window_ok
+    valid = in_bounds & front & window_mask(u, v, H, W, pad_v)
     warped = _gen_sample(src, u, v, pad_v)
     return warped, valid
 

@@ -125,7 +125,9 @@ def compute_losses(
             )
             # The source frame is constant data: the frozen-src warp's
             # backward is gather-only (Pallas kernel on TPU).
-            warped, valid = ops.frozen_warp(img_s, depth, T_ts, Ks)
+            warped, valid = ops.frozen_warp(
+                img_s, depth, T_ts, Ks, pad_v=config.warp_pad_v
+            )
             temporal_total += photometric_loss(
                 warped, img_t, valid, config.ssim_weight
             )
@@ -155,7 +157,9 @@ def compute_losses(
             # feat_s carries gradients -> needs the scatter-capable path.
             warped, valid = geo_warp.inverse_warp(payload, depth_full, T_ts, K)
         else:
-            warped, valid = ops.frozen_warp(payload, depth_full, T_ts, K)
+            warped, valid = ops.frozen_warp(
+                payload, depth_full, T_ts, K, pad_v=config.warp_pad_v
+            )
         temporal_total += photometric_loss(
             warped[..., :3], image_t, valid, config.ssim_weight
         )
@@ -238,12 +242,14 @@ def make_scan_train_step(
     inside one jitted call keeps the device busy: the host stacks K
     batches, one dispatch runs K fwd+bwd+update iterations on-device.
 
-    Measured caveat (v5e, full_feat batch 4): inside ``lax.scan`` XLA
-    chose ~3x slower convolution schedules than the straight-line step
-    (loop-carry layout constraints), so for LARGE models sequential
-    dispatches win whenever per-dispatch latency < the scan slowdown.
-    Scan mode pays off for small models and high-latency links — measure
-    before enabling (``cli train --steps-per-call K``).
+    Measured (v5e-1, full_feat batch 4, 2026-08-16): 35.5 ms/step at
+    K=8 vs 37.1 ms/step sequential chained dispatch — scan now matches
+    the straight-line conv schedules (an earlier ~3x regression no
+    longer reproduces with the Pallas warp kernels on all scales) and
+    additionally hides the per-dispatch tunnel latency. ``unroll > 1``
+    is NOT supported at full resolution: XLA's scoped-VMEM allocation
+    for the general-warp backward kernel overflows when the unrolled
+    body replicates the kernel (measured OOM at unroll=8).
 
     The returned fn maps (state, stacked_batch[K, ...]) -> (state, metrics
     of the last step).

@@ -87,14 +87,17 @@ def run_benchmark(
       depth_infer — batched DepthNet forward (the BASELINE fps metric);
         measured with K inner iterations per dispatch (device time).
       odom_infer  — batched OdomNet forward + exp-map.
-      train_step  — full full_feat train step (fwd+bwd+update).
+      train_step  — full train step (fwd+bwd+update), one dispatch each.
+      train_step_scan — K=8 optimizer steps per dispatch (lax.scan);
+        per-step time with dispatch latency amortized.
       warp        — the fused inverse-warp op alone.
 
-    Note: modes other than depth_infer time sequential dispatches, so on
-    a remote/tunneled device they include ~20 ms per-dispatch latency on
-    top of device time (train_step is NOT scanned on purpose: XLA picks
-    ~3x slower conv schedules inside lax.scan for this model — see
-    train/loop.make_scan_train_step).
+    Note: modes other than depth_infer and train_step_scan time
+    sequential dispatches, so on a remote/tunneled device they include
+    ~20 ms per-dispatch latency on top of device time. train_step_scan
+    folds K=8 optimizer steps into one dispatch via lax.scan (measured
+    at parity with straight-line conv schedules — see
+    train/loop.make_scan_train_step) and amortizes that latency away.
     """
     import dataclasses
 
@@ -144,7 +147,7 @@ def run_benchmark(
             rng.uniform(-1, 1, (batch_size, height, width, 6)), jnp.float32
         )
         fn = lambda: model._pose_fn(model.params, pairs)
-    elif mode == "train_step":
+    elif mode in ("train_step", "train_step_scan"):
         from depthvo_tpu.data.synthetic import SyntheticScenes
         from depthvo_tpu.parallel import mesh as pmesh
         from depthvo_tpu.train import loop as train_loop
@@ -155,10 +158,19 @@ def run_benchmark(
         state = jax.device_put(
             create_state(cfg, jax.random.PRNGKey(0)), pmesh.replicated(mesh)
         )
-        batch = pmesh.shard_batch(
-            SyntheticScenes(cfg, seed=0, num_scenes=2).batch(batch_size), mesh
-        )
-        step_fn = train_loop.make_train_step(cfg, mesh)
+        batch_np = SyntheticScenes(cfg, seed=0, num_scenes=2).batch(batch_size)
+        if mode == "train_step_scan":
+            K_SCAN = 8
+            batch = pmesh.shard_batch(
+                train_loop.stack_batches([batch_np] * K_SCAN), mesh
+            )
+            step_fn = train_loop.make_scan_train_step(
+                cfg, mesh, steps_per_call=K_SCAN
+            )
+            stats_scale = K_SCAN
+        else:
+            batch = pmesh.shard_batch(batch_np, mesh)
+            step_fn = train_loop.make_train_step(cfg, mesh)
         # donate_argnums=0 invalidates state each call: rebind.
         holder = {"state": state}
 

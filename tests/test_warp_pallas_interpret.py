@@ -83,31 +83,50 @@ class TestStereoKernelInterpreted:
         assert float(jnp.abs(g_k - g_f).max()) < 1e-5 * max(scale, 1.0)
 
 
+GH = 24  # general-kernel test height: must fit the pad_v=8 window (2*8+8)
+
+
 class TestGeneralKernelInterpreted:
-    K = camera.intrinsics_matrix(fx=0.58 * W, fy=1.0 * H, cx=W / 2, cy=H / 2)
+    K = camera.intrinsics_matrix(fx=0.58 * W, fy=1.0 * GH, cx=W / 2, cy=GH / 2)
     TWIST = jnp.asarray([[0.02, -0.01, -0.3, 0.002, -0.003, 0.001]], jnp.float32)
 
+    def _gscene(self, rng):
+        src = jnp.asarray(rng.normal(size=(B, GH, W, C)), jnp.float32)
+        depth = jnp.asarray(rng.uniform(4.0, 40.0, (B, GH, W)), jnp.float32)
+        return src, depth
+
     def test_forward_matches_reference(self, rng):
-        src, depth = _scene(rng)
+        src, depth = self._gscene(rng)
         T = se3.exp(self.TWIST)
-        w_k, v_k = warp_pallas.general_warp_frozen_src(src, depth, T, self.K, pad_v=4)
+        w_k, v_k = warp_pallas.general_warp_frozen_src(src, depth, T, self.K, pad_v=8)
         w_f, v_f = ref_warp.inverse_warp(src, depth, T, self.K)
         both = np.asarray(v_k) & np.asarray(v_f)
         assert both.mean() > 0.5  # the synthetic motion keeps most valid
         assert np.abs(np.asarray(w_k) - np.asarray(w_f))[both].max() < 1e-6
 
+    def test_pad_v_must_be_tile_aligned(self, rng):
+        src, depth = self._gscene(rng)
+        with pytest.raises(ValueError, match="multiple of 8"):
+            warp_pallas.general_warp_frozen_src(
+                src, depth, se3.exp(self.TWIST), self.K, pad_v=4
+            )
+        with pytest.raises(ValueError, match="window"):
+            warp_pallas.general_warp_frozen_src(
+                src, depth, se3.exp(self.TWIST), self.K, pad_v=16
+            )
+
     def test_backward_d_depth_d_pose(self, rng):
         """Gradients to depth AND pose through the candidate-row kernel
         (the exact gradients the temporal/feature losses train on)."""
-        src, depth = _scene(rng)
+        src, depth = self._gscene(rng)
         _, v_k = warp_pallas.general_warp_frozen_src(
-            src, depth, se3.exp(self.TWIST), self.K, pad_v=4
+            src, depth, se3.exp(self.TWIST), self.K, pad_v=8
         )
 
         def loss(d, tw, use_kernel):
             if use_kernel:
                 w, _ = warp_pallas.general_warp_frozen_src(
-                    src, d, se3.exp(tw), self.K, pad_v=4
+                    src, d, se3.exp(tw), self.K, pad_v=8
                 )
             else:
                 w, _ = ref_warp.inverse_warp(
@@ -123,11 +142,11 @@ class TestGeneralKernelInterpreted:
         assert float(jnp.abs(gk_t - gf_t).max()) < 1e-5 * max(t_scale, 1.0)
 
     def test_src_receives_no_gradient(self, rng):
-        src, depth = _scene(rng)
+        src, depth = self._gscene(rng)
 
         def loss(s):
             w, _ = warp_pallas.general_warp_frozen_src(
-                s, depth, se3.exp(self.TWIST), self.K, pad_v=4
+                s, depth, se3.exp(self.TWIST), self.K, pad_v=8
             )
             return jnp.sum(w**2)
 
