@@ -128,6 +128,27 @@ def cmd_train(args) -> int:
         print("no --kitti-root given: training on synthetic scenes")
         it = SyntheticScenes(cfg, seed=cfg.seed).iterator(cfg.batch_size)
 
+    # Validation (the Caffe solver test phase: test_interval/test_iter).
+    eval_it = None
+    if args.eval_every > 0:
+        if args.val_list:
+            from depthvo_tpu.data.kitti import load_train_list
+
+            val_ds = load_train_list(
+                args.kitti_root or ".", args.val_list,
+                cfg.model.height, cfg.model.width,
+            )
+            eval_it = val_ds.iterator(cfg.batch_size, shuffle=False)
+            print(f"validation: {len(val_ds)} samples from {args.val_list} "
+                  f"every {args.eval_every} steps")
+        else:
+            # Held-out synthetic scenes (disjoint seed from training).
+            eval_it = SyntheticScenes(
+                cfg, seed=cfg.seed + 1_000_003
+            ).iterator(cfg.batch_size)
+            print(f"validation: held-out synthetic scenes every "
+                  f"{args.eval_every} steps (pass --val-list for real data)")
+
     from depthvo_tpu.utils.logging import MetricLogger
 
     log = MetricLogger(jsonl_path=args.log_jsonl)
@@ -136,6 +157,8 @@ def cmd_train(args) -> int:
             cfg, it, args.steps, mesh=mesh,
             checkpoint_dir=args.checkpoint_dir, log_fn=log,
             steps_per_call=args.steps_per_call,
+            eval_iter=eval_it, eval_every=args.eval_every,
+            eval_steps=args.eval_steps,
         )
     finally:
         log.close()
@@ -365,6 +388,15 @@ def main(argv=None) -> int:
                    help="pretrain-feat checkpoint: overrides 'feat' params")
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="optimizer steps per dispatch (lax.scan)")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="validate every N steps (Caffe solver test_interval; "
+                        "0 = off)")
+    p.add_argument("--eval-steps", type=int, default=10,
+                   help="held-out batches averaged per validation "
+                        "(Caffe solver test_iter)")
+    p.add_argument("--val-list", default=None,
+                   help="held-out sample list for validation (see `prep`); "
+                        "default: held-out synthetic scenes")
     p.add_argument("--debug-nans", action="store_true",
                    help="abort on the first non-finite value (diagnostics)")
     p.add_argument("--log-jsonl", default=None,
@@ -433,7 +465,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench", help="throughput benchmark (reference: caffe time)")
     _add_common(p)
     p.add_argument("--mode", default="depth_infer",
-                   choices=["depth_infer", "train_step", "odom_infer", "warp"])
+                   choices=["depth_infer", "train_step", "train_step_scan",
+                            "odom_infer", "warp"])
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace here")

@@ -314,6 +314,22 @@ def make_eval_step(config: ExperimentConfig):
     return eval_fn
 
 
+def run_validation(
+    eval_fn, state, eval_iter, eval_steps: int, mesh
+) -> Dict[str, float]:
+    """Run ``eval_steps`` held-out batches and average the loss terms —
+    the rebuild of Caffe's solver test phase (``test_iter`` batches every
+    ``test_interval`` iterations; SURVEY.md §5 config system: solver.prototxt).
+    Returns metrics under a ``val/`` prefix."""
+    totals: Dict[str, float] = {}
+    for _ in range(eval_steps):
+        batch = pmesh.shard_batch(next(eval_iter), mesh)
+        metrics = jax.device_get(eval_fn(state, batch))
+        for k, v in metrics.items():
+            totals[k] = totals.get(k, 0.0) + float(v)
+    return {f"val/{k}": v / max(eval_steps, 1) for k, v in totals.items()}
+
+
 def fit(
     config: ExperimentConfig,
     data_iter: Iterator[Dict[str, np.ndarray]],
@@ -324,12 +340,20 @@ def fit(
     state: TrainState | None = None,
     steps_per_call: int = 1,
     prefetch: int = 2,
+    eval_iter: Iterator[Dict[str, np.ndarray]] | None = None,
+    eval_every: int = 0,
+    eval_steps: int = 10,
 ) -> TrainState:
     """Host training loop: the rebuild of ``Solver::Solve`` (SURVEY.md §3.1).
 
     Streams host batches onto the mesh, runs the jitted step, logs the
     separate loss terms (as the reference's solver display does), and
     snapshots via orbax every ``config.checkpoint_every`` steps.
+
+    ``eval_iter`` + ``eval_every`` enable the Caffe solver test phase
+    (``test_interval``/``test_iter``): every ``eval_every`` optimizer
+    steps (and once at the end), average the eval-mode loss terms over
+    ``eval_steps`` held-out batches and log them under ``val/``.
 
     ``steps_per_call > 1`` runs K optimizer steps per dispatch via
     ``lax.scan`` (see make_scan_train_step) — use on remote/tunneled
@@ -359,6 +383,9 @@ def fit(
         step_fn = make_scan_train_step(config, mesh, steps_per_call)
     else:
         step_fn = make_train_step(config, mesh)
+    eval_fn = None
+    if eval_iter is not None and eval_every > 0:
+        eval_fn = make_eval_step(config)
 
     ckpt_mgr = None
     if checkpoint_dir is not None:
@@ -418,6 +445,13 @@ def fit(
             dt = time.perf_counter() - steady_t0
             metrics["steps_per_sec"] = (i - steady_base) / max(dt, 1e-9)
             log_fn(last, {k_: float(v) for k_, v in metrics.items()})
+        if eval_fn is not None and (
+            (last + 1) % eval_every < (steps_per_call if steps_per_call > 1 else 1)
+            or i >= num_steps
+        ):
+            val = run_validation(eval_fn, state, eval_iter, eval_steps, mesh)
+            if log_fn is not None:
+                log_fn(last, val)
         if ckpt_mgr is not None and (
             (last + 1) % config.checkpoint_every < (steps_per_call if steps_per_call > 1 else 1)
             or i >= num_steps

@@ -203,3 +203,35 @@ def test_fit_with_steps_per_call(tmp_path):
     )
     assert int(state.step) == 8
     assert len(losses) >= 2 and np.isfinite(losses).all()
+
+
+def test_fit_periodic_validation():
+    """The Caffe solver test phase (test_interval/test_iter): fit runs
+    eval-mode losses on held-out batches every eval_every steps and logs
+    them under val/ (SURVEY.md §5 config system)."""
+    cfg = configs.tiny_test()
+    cfg = configs.ExperimentConfig(**{**cfg.__dict__, "log_every": 1})
+    train_it = SyntheticScenes(cfg, seed=1, num_scenes=2).iterator(
+        cfg.batch_size, fixed=True
+    )
+    val_it = SyntheticScenes(cfg, seed=99, num_scenes=2).iterator(
+        cfg.batch_size, fixed=True
+    )
+    val_logs = []
+
+    def log(step, metrics):
+        if any(k.startswith("val/") for k in metrics):
+            val_logs.append((step, metrics))
+
+    train_loop.fit(
+        cfg, train_it, 6, log_fn=log,
+        eval_iter=val_it, eval_every=3, eval_steps=2,
+    )
+    # Validation at steps 3 and 6 (boundary + end-of-run).
+    assert len(val_logs) >= 2
+    for _, m in val_logs:
+        assert "val/loss/total" in m
+        assert np.isfinite(m["val/loss/total"])
+    # Eval mode is not an optimizer step: train metrics are unaffected.
+    s0, m0 = val_logs[0]
+    assert all(k.startswith("val/") for k in m0)
