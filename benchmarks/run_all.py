@@ -152,6 +152,11 @@ def config4_full_train(steps: int = 20) -> dict:
 def config5_eval_sweep(n_frames: int = 256, seq_len: int = 256) -> dict:
     """Batched eval pipeline end-to-end: depth prediction (incl. the
     host-side gt-size resize of eval/runner.py) + trajectory prediction.
+
+    Frames are uint8 (as the eval loaders produce): uploads are 4x
+    smaller than f32 and normalization runs on-device; the trajectory
+    path stages the sequence once and pairs frames on-device
+    (api.DepthVO.pose_sequence). Both are the shipped eval paths.
     """
     from depthvo_tpu.api import DepthVO
     from depthvo_tpu.eval.runner import predict_depths, predict_trajectory
@@ -159,7 +164,7 @@ def config5_eval_sweep(n_frames: int = 256, seq_len: int = 256) -> dict:
     model = DepthVO.from_random()
     h, w = model.config.model.height, model.config.model.width
     rng = np.random.default_rng(0)
-    frames = rng.uniform(-1, 1, (n_frames, h, w, 3)).astype(np.float32)
+    frames = rng.integers(0, 256, (n_frames, h, w, 3), dtype=np.uint8)
 
     # Warm both compiled programs, then time the sweep.
     predict_depths(model, frames[:32], batch_size=16)
@@ -168,10 +173,8 @@ def config5_eval_sweep(n_frames: int = 256, seq_len: int = 256) -> dict:
         def __init__(self, frames):
             self._f = frames
 
-        def pair_iterator(self, batch_size):
-            pairs = np.concatenate([self._f[:-1], self._f[1:]], axis=-1)
-            for i in range(0, len(pairs), batch_size):
-                yield pairs[i : i + batch_size]
+        def frames_u8(self):
+            return self._f
 
     seq = _FakeSeq(frames[:seq_len])
     predict_trajectory(model, seq, batch_size=16)

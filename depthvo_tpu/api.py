@@ -12,7 +12,9 @@ rebuild exposes the same capabilities as a real Python API:
   + weights, with ``from_checkpoint`` / ``from_random``.
 
 All functions are jit-compiled on first call per input shape; inputs are
-NHWC float32 in [-1, 1].
+NHWC float32 in [-1, 1] OR raw uint8 (normalized on-device — preferred
+for throughput: 4x fewer bytes cross the host->device link, and the
+normalization matches the loader's ``x / 127.5 - 1`` to 1 ulp).
 """
 
 from __future__ import annotations
@@ -29,6 +31,27 @@ from depthvo_tpu.geometry import se3
 from depthvo_tpu.train.state import build_models, create_state
 
 
+def _to_unit(images: jax.Array) -> jax.Array:
+    """[-1, 1] float32 from either pre-normalized floats or raw uint8.
+
+    uint8 inputs are normalized on-device with the exact formula the host
+    loaders use (data/kitti.py::load_image); the two routes agree to
+    1 ulp (XLA may fuse the normalize into an FMA) — uint8 just moves 4x
+    fewer bytes to the device.
+    """
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 127.5 - 1.0
+    return images.astype(jnp.float32)
+
+
+def _as_batch(images: np.ndarray) -> jax.Array:
+    """Device array, batch dim added, dtype preserved (u8 stays u8)."""
+    arr = jnp.asarray(images)
+    if arr.dtype not in (jnp.uint8, jnp.float32):
+        arr = arr.astype(jnp.float32)
+    return arr[None] if arr.ndim == 3 else arr
+
+
 class DepthVO:
     """Inference handle over trained Depth-VO-Feat weights."""
 
@@ -41,25 +64,49 @@ class DepthVO:
         @jax.jit
         def _depth_fn(params, batch_stats, images):
             variables = {"params": params["depth"], "batch_stats": batch_stats}
-            disps = self._depth_net.apply(variables, images, train=False)
+            disps = self._depth_net.apply(variables, _to_unit(images), train=False)
             return disps[-1]
 
         @jax.jit
         def _pose_fn(params, pairs):
             twist = self._odom_net.apply(
-                {"params": params["odom"]}, pairs, train=False
+                {"params": params["odom"]}, _to_unit(pairs), train=False
             )
             return twist, se3.exp(twist)
 
         @jax.jit
         def _feat_fn(params, images):
             return self._feat_net.apply(
-                {"params": params["feat"]}, images, train=False
+                {"params": params["feat"]}, _to_unit(images), train=False
             )
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def _pose_seq_fn(params, frames, chunk):
+            """(M+1, H, W, 3) device-resident frames -> (M, 4, 4) relative
+            transforms, M a multiple of ``chunk``. Consecutive pairs are
+            formed ON-DEVICE (each frame crosses the link once), batched
+            through the odometry net via ``lax.map`` so peak activation
+            memory stays at one chunk."""
+            m = frames.shape[0] - 1
+            shape = (m // chunk, chunk) + frames.shape[1:]
+            a = jnp.reshape(frames[:-1], shape)
+            b = jnp.reshape(frames[1:], shape)
+
+            def body(ab):
+                pairs = jnp.concatenate(
+                    [_to_unit(ab[0]), _to_unit(ab[1])], axis=-1
+                )
+                twist = self._odom_net.apply(
+                    {"params": params["odom"]}, pairs, train=False
+                )
+                return se3.exp(twist)
+
+            return jnp.reshape(jax.lax.map(body, (a, b)), (m, 4, 4))
 
         self._depth_fn = _depth_fn
         self._pose_fn = _pose_fn
         self._feat_fn = _feat_fn
+        self._pose_seq_fn = _pose_seq_fn
 
     # ---- constructors ----
     @classmethod
@@ -79,35 +126,47 @@ class DepthVO:
 
     # ---- inference ----
     def depth(self, images: np.ndarray) -> np.ndarray:
-        """(B, H, W, 3) in [-1,1] -> (B, H, W) metric depth (1/disparity)."""
-        images = jnp.asarray(images, jnp.float32)
-        if images.ndim == 3:
-            images = images[None]
-        disp = self._depth_fn(self.params, self.batch_stats, images)
+        """(B, H, W, 3) in [-1,1] (or raw uint8) -> (B, H, W) metric depth
+        (1/disparity)."""
+        disp = self._depth_fn(self.params, self.batch_stats, _as_batch(images))
         return np.asarray(1.0 / disp[..., 0])
 
     def inverse_depth(self, images: np.ndarray) -> np.ndarray:
-        images = jnp.asarray(images, jnp.float32)
-        if images.ndim == 3:
-            images = images[None]
         return np.asarray(
-            self._depth_fn(self.params, self.batch_stats, images)[..., 0]
+            self._depth_fn(self.params, self.batch_stats, _as_batch(images))[..., 0]
         )
 
     def pose(self, pairs: np.ndarray) -> np.ndarray:
         """(B, H, W, 6) frame pairs -> (B, 4, 4) relative transforms
         (target-cam -> source-cam coordinate transforms)."""
-        pairs = jnp.asarray(pairs, jnp.float32)
-        if pairs.ndim == 3:
-            pairs = pairs[None]
-        _, T = self._pose_fn(self.params, pairs)
+        _, T = self._pose_fn(self.params, _as_batch(pairs))
         return np.asarray(T)
 
+    def pose_sequence(self, frames: np.ndarray, chunk: int = 16) -> np.ndarray:
+        """(N, H, W, 3) consecutive frames -> (N-1, 4, 4) relative
+        transforms, pairing frames ON-DEVICE.
+
+        The reference loops per frame pair through pycaffe (SURVEY.md
+        §3.3 hot loop); this stages the whole sequence to the device in
+        one transfer (pass uint8 frames: 8x fewer link bytes than f32
+        pairs) and runs one XLA program that maps the odometry net over
+        ``chunk``-sized batches. The trailing partial chunk is padded by
+        repeating the last frame and trimmed after the fetch.
+        """
+        n = frames.shape[0]
+        if n < 2:
+            return np.zeros((0, 4, 4), np.float32)
+        m = n - 1
+        pad = (-m) % chunk
+        if pad:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], pad, axis=0)]
+            )
+        T = self._pose_seq_fn(self.params, _as_batch(frames), chunk)
+        return np.asarray(T[:m])
+
     def features(self, images: np.ndarray) -> np.ndarray:
-        images = jnp.asarray(images, jnp.float32)
-        if images.ndim == 3:
-            images = images[None]
-        return np.asarray(self._feat_fn(self.params, images))
+        return np.asarray(self._feat_fn(self.params, _as_batch(images)))
 
 
 def load_model(checkpoint_dir: str, config: ExperimentConfig | None = None) -> DepthVO:

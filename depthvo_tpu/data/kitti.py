@@ -71,6 +71,32 @@ def load_image(path: str, height: int, width: int) -> np.ndarray:
     return arr / 127.5 - 1.0
 
 
+def load_image_u8(path: str, height: int, width: int) -> np.ndarray:
+    """Decode + bilinear-resize to (height, width), kept as uint8.
+
+    Shipping uint8 to the device and normalizing there (api.DepthVO)
+    moves 4x fewer bytes over the host->device link. Fidelity vs
+    ``load_image``: on the PIL path the resize output IS uint8, so the
+    two routes are value-identical; the native runtime resizes in float,
+    so rounding back to uint8 quantizes by at most half a grid step
+    (1/255 in [-1, 1] units) — the same uint8-grid the reference's
+    cv2/Caffe pipeline lived on.
+    """
+    native = _native()
+    if native and path.lower().endswith(".png"):
+        try:
+            arr = native.load_resized(path, height, width)
+            return np.round((arr + 1.0) * 127.5).astype(np.uint8)
+        except ValueError:
+            pass
+    if Image is None:  # pragma: no cover
+        raise RuntimeError("PIL not available for image decoding")
+    with Image.open(path) as im:
+        return np.asarray(
+            im.convert("RGB").resize((width, height), Image.BILINEAR), np.uint8
+        )
+
+
 def _image_size(path: str) -> Tuple[int, int]:
     """(width, height) from the image header — PIL reads it lazily, so no
     pixel decode happens. KITTI native resolutions vary by date/sequence
@@ -429,6 +455,25 @@ class KittiOdometrySequence:
 
     def frame(self, idx: int) -> np.ndarray:
         return load_image(self.frame_paths[idx], self.height, self.width)
+
+    def frames_u8(self, num_workers: int = 8) -> np.ndarray:
+        """All frames as one (N, H, W, 3) uint8 array (thread-pool decode).
+
+        The whole-sequence array is what ``api.DepthVO.pose_sequence``
+        stages to the device in ONE transfer — consecutive pairs are then
+        formed on-device, so each frame crosses the host->device link
+        once as uint8 instead of twice as float32 (8x fewer bytes than
+        ``pair_iterator``)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(num_workers) as ex:
+            frames = list(
+                ex.map(
+                    lambda p: load_image_u8(p, self.height, self.width),
+                    self.frame_paths,
+                )
+            )
+        return np.stack(frames)
 
     def pair_iterator(self, batch_size: int = 8) -> Iterator[np.ndarray]:
         """Yield batches of consecutive-frame pairs (B, H, W, 6)."""

@@ -66,3 +66,88 @@ def test_predict_depths_padding_consistency():
     batched = predict_depths(model, frames, batch_size=4)
     single = np.concatenate([model.depth(frames[i : i + 1]) for i in range(5)])
     np.testing.assert_allclose(batched, single, rtol=2e-4, atol=1e-5)
+
+
+def _tiny_model():
+    from depthvo_tpu import configs
+    from depthvo_tpu.api import DepthVO
+
+    cfg = configs.full_feat()
+    mc = configs.ModelConfig(height=32, width=96, compute_dtype="float32")
+    cfg = configs.ExperimentConfig(**{**cfg.__dict__, "model": mc})
+    return DepthVO.from_random(cfg)
+
+
+def test_uint8_input_matches_host_normalize():
+    """uint8 frames normalized on-device == host-normalized f32 frames
+    up to 1 ulp (XLA may fuse the normalize into an FMA; the inputs to
+    the net differ by at most one rounding)."""
+    model = _tiny_model()
+    rng = np.random.default_rng(2)
+    u8 = rng.integers(0, 256, size=(2, 32, 96, 3), dtype=np.uint8)
+    f32 = u8.astype(np.float32) / 127.5 - 1.0
+    np.testing.assert_allclose(
+        model.depth(u8), model.depth(f32), rtol=1e-5, atol=1e-6
+    )
+    pair_u8 = np.concatenate([u8, u8[::-1]], axis=-1)
+    pair_f32 = np.concatenate([f32, f32[::-1]], axis=-1)
+    np.testing.assert_allclose(
+        model.pose(pair_u8), model.pose(pair_f32), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_load_image_u8_matches_load_image(tmp_path):
+    """load_image_u8 / 127.5 - 1 == load_image within half a uint8 grid
+    step (exactly equal on the PIL path; the native runtime resizes in
+    float, so u8 rounds by <= 1/255 in [-1, 1] units)."""
+    from depthvo_tpu.data.kitti import load_image, load_image_u8
+
+    rng = np.random.default_rng(3)
+    path = str(tmp_path / "frame.png")
+    Image.fromarray(
+        rng.integers(0, 256, (370, 1226, 3), dtype=np.uint8)
+    ).save(path)
+    f32 = load_image(path, 32, 96)
+    u8 = load_image_u8(path, 32, 96)
+    assert u8.dtype == np.uint8
+    diff = np.abs(f32 - (u8.astype(np.float32) / 127.5 - 1.0))
+    assert diff.max() <= 1.0 / 255.0 + 1e-6
+
+
+def test_pose_sequence_matches_pairwise():
+    """On-device pairing (pose_sequence) == host-built pairs through
+    model.pose, including the trailing-chunk padding path (N-1=6 pairs,
+    chunk=4)."""
+    model = _tiny_model()
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, size=(7, 32, 96, 3), dtype=np.uint8)
+    seq_T = model.pose_sequence(frames, chunk=4)
+    assert seq_T.shape == (6, 4, 4)
+    f32 = frames.astype(np.float32) / 127.5 - 1.0
+    pairs = np.concatenate([f32[:-1], f32[1:]], axis=-1)
+    pair_T = model.pose(pairs)
+    np.testing.assert_allclose(seq_T, pair_T, rtol=1e-5, atol=1e-6)
+
+
+def test_predict_trajectory_fast_path_matches_fallback():
+    from depthvo_tpu.eval.runner import predict_trajectory
+
+    model = _tiny_model()
+    rng = np.random.default_rng(5)
+    u8 = rng.integers(0, 256, size=(6, 32, 96, 3), dtype=np.uint8)
+    f32 = u8.astype(np.float32) / 127.5 - 1.0
+
+    class _Fast:
+        def frames_u8(self):
+            return u8
+
+    class _Slow:
+        def pair_iterator(self, batch_size):
+            pairs = np.concatenate([f32[:-1], f32[1:]], axis=-1)
+            for i in range(0, len(pairs), batch_size):
+                yield pairs[i : i + batch_size]
+
+    fast = predict_trajectory(model, _Fast(), batch_size=4)
+    slow = predict_trajectory(model, _Slow(), batch_size=4)
+    assert fast.shape == slow.shape == (6, 4, 4)
+    np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-6)
