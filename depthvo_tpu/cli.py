@@ -341,6 +341,27 @@ def cmd_prep_eigen(args) -> int:
     return 0
 
 
+def cmd_export_caffemodel(args) -> int:
+    """Write a trained net's weights in the Caffe model-zoo format — the
+    reverse of the `.caffemodel` importer, so reference-ecosystem tooling
+    can consume models trained here (SURVEY.md §1 row 8 model zoo)."""
+    from depthvo_tpu.io.export_weights import export_caffemodel
+
+    model = _load_model(args)
+    net = args.net
+    if net not in model.params:
+        print(f"net '{net}' not in checkpoint (has: {sorted(model.params)})")
+        return 2
+    raw = export_caffemodel(
+        model.params[net],
+        batch_stats=model.batch_stats if net == "depth" else None,
+        path=args.output,
+        net_name=f"depthvo_tpu_{net}",
+    )
+    print(f"wrote {args.output} ({len(raw)} bytes, net={net})")
+    return 0
+
+
 def cmd_bench(args) -> int:
     from depthvo_tpu.utils.profiling import run_benchmark
 
@@ -461,6 +482,15 @@ def main(argv=None) -> int:
     p.add_argument("--scenes", default="",
                    help="comma-separated drive names overriding the shipped list")
     p.set_defaults(fn=cmd_prep_eigen)
+
+    p = sub.add_parser(
+        "export-caffemodel",
+        help="write weights in the Caffe model-zoo format (importer's inverse)",
+    )
+    _add_common(p)
+    p.add_argument("--net", default="depth", choices=["depth", "odom", "feat"])
+    p.add_argument("--output", default="model.caffemodel")
+    p.set_defaults(fn=cmd_export_caffemodel)
 
     p = sub.add_parser("bench", help="throughput benchmark (reference: caffe time)")
     _add_common(p)

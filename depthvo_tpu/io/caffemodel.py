@@ -1,4 +1,4 @@
-"""One-way ``.caffemodel`` importer (no Caffe, no protoc).
+"""``.caffemodel`` importer AND exporter (no Caffe, no protoc).
 
 Reference parity (SURVEY.md §2b(ii) ``caffe.proto`` row: "must be
 vendored/compiled in the rebuild to parse released .caffemodel files for
@@ -223,6 +223,73 @@ def conv_params(layer: Dict, flip_bgr: bool = False) -> Dict[str, np.ndarray]:
     if len(blobs) > 1:
         out["bias"] = blobs[1].reshape(-1).astype(np.float32)
     return out
+
+
+# ----------------------------------------------------------------- write ----
+# Encoder for the same schema subset the parser reads (modern
+# ``layer`` field 100 encoding): enough to round-trip weights through
+# the Caffe model-zoo format so reference-ecosystem tooling can consume
+# models trained here (PARITY.md "Docs / model zoo").
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _len_field(field: int, payload: bytes) -> bytes:
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def encode_blob(arr: np.ndarray) -> bytes:
+    """numpy array -> BlobProto bytes (shape field 7 + packed data field 5)."""
+    arr = np.ascontiguousarray(arr, dtype=np.float32)
+    dims = b"".join(_varint(int(d)) for d in arr.shape)
+    shape_msg = _len_field(1, dims) if arr.ndim else b""
+    out = _len_field(7, shape_msg)
+    out += _len_field(5, arr.tobytes())
+    return out
+
+
+def encode_layer(name: str, type_str: str, blobs: List[np.ndarray]) -> bytes:
+    """(name, type, blobs) -> LayerParameter bytes (modern encoding)."""
+    out = _len_field(1, name.encode("utf-8"))
+    out += _len_field(2, type_str.encode("utf-8"))
+    for b in blobs:
+        out += _len_field(7, encode_blob(b))
+    return out
+
+
+def write_caffemodel(
+    layers: List[Tuple[str, str, List[np.ndarray]]],
+    path: str | None = None,
+    net_name: str = "depthvo_tpu",
+) -> bytes:
+    """Serialize [(layer_name, type, blobs), ...] as a NetParameter.
+
+    The output parses back with :func:`parse_caffemodel` (and with real
+    Caffe/protoc tooling — only public frozen field numbers are used).
+    """
+    out = _len_field(1, net_name.encode("utf-8"))
+    for name, type_str, blobs in layers:
+        out += _len_field(100, encode_layer(name, type_str, blobs))
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(out)
+    return out
+
+
+def hwio_to_oihw(w: np.ndarray) -> np.ndarray:
+    """flax conv kernel (kH, kW, I, O) -> Caffe (O, I, kH, kW)."""
+    assert w.ndim == 4, w.shape
+    return np.transpose(w, (3, 2, 0, 1))
 
 
 def summarize(layers: Dict[str, Dict]) -> str:
