@@ -48,6 +48,9 @@ class ModelConfig:
     # map (skips the VPU-bound full-res decoder convs; quality-gated on
     # the synthetic-scene training check — see models/depth_net.py).
     fast_final_upsample: bool = False
+    # Subpixel (depth-to-space) final head: per-output-pixel learned
+    # upsampling with the same full-res-conv savings (models/depth_net.py).
+    subpixel_head: bool = False
 
     @property
     def image_shape(self) -> Tuple[int, int, int]:

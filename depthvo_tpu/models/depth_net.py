@@ -47,6 +47,12 @@ class DepthNet(nn.Module):
     # time; metric parity is gated on the synthetic-scene training check
     # (SURVEY.md §7: the gate is metric parity, not structural mimicry).
     fast_final_upsample: bool = False
+    # Subpixel (depth-to-space) final head: predict FOUR inverse-depth
+    # logits per 1/2-res pixel and rearrange into the full-res map —
+    # the learned-upsample alternative to fast_final_upsample: same
+    # full-res-conv savings, but each output pixel gets its own
+    # prediction instead of a bilinear blur.
+    subpixel_head: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -77,7 +83,29 @@ class DepthNet(nn.Module):
         x = skips[-1]
         n_up = len(self.decoder_features)
         last_stage = n_up - 1
+        if self.fast_final_upsample and self.subpixel_head:
+            raise ValueError(
+                "fast_final_upsample and subpixel_head are exclusive"
+            )
         for i, feats in enumerate(self.decoder_features):
+            if self.subpixel_head and i == last_stage:
+                # Subpixel head: 4 bounded logits per 1/2-res pixel ->
+                # depth_to_space(2) -> full-res inverse depth. The convs
+                # stay at 1/2 res (channel-dense, MXU-friendly); every
+                # output pixel still gets its own learned prediction.
+                raw = nn.Conv(
+                    4, (3, 3), padding="SAME", dtype=dt,
+                    param_dtype=jnp.float32,
+                )(x)
+                d4 = (
+                    self.max_disp * nn.sigmoid(raw.astype(jnp.float32))
+                    + self.min_disp
+                )
+                B, Hh, Wh, _ = d4.shape
+                d4 = d4.reshape(B, Hh, Wh, 2, 2)
+                d4 = d4.transpose(0, 1, 3, 2, 4)
+                disps.append(d4.reshape(B, 2 * Hh, 2 * Wh, 1))
+                break
             if self.fast_final_upsample and i == last_stage:
                 # Finest scale: upsample the previous disp (1 channel)
                 # instead of running full-res feature convs.

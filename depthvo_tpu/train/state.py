@@ -87,6 +87,7 @@ def build_models(config: ExperimentConfig):
         min_disp=mc.min_disp,
         compute_dtype=dt,
         fast_final_upsample=mc.fast_final_upsample,
+        subpixel_head=mc.subpixel_head,
     )
     odom = OdomNet(compute_dtype=dt)
     feat = FeatNet(out_features=mc.feat_channels, compute_dtype=dt)

@@ -1,5 +1,6 @@
 """Model shape/contract tests for the three networks (SURVEY.md §0)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -84,3 +85,42 @@ class TestFeatNet:
         # Finest scale is an upsample of the 1/2-res disp: same value range.
         assert float(disps[-1].min()) >= float(disps[-2].min()) - 1e-6
         assert float(disps[-1].max()) <= float(disps[-2].max()) + 1e-6
+
+
+class TestSubpixelHead:
+    def test_shapes_and_bounds(self):
+        net = DepthNet(num_scales=4, subpixel_head=True)
+        x = jnp.zeros((2, H, W, 3))
+        variables = net.init(jax.random.PRNGKey(0), x)
+        disps = net.apply(variables, x)
+        expected = [(2, H // 8, W // 8, 1), (2, H // 4, W // 4, 1),
+                    (2, H // 2, W // 2, 1), (2, H, W, 1)]
+        assert [d.shape for d in disps] == expected
+        for d in disps:
+            assert float(d.min()) >= net.min_disp - 1e-6
+            assert float(d.max()) <= net.max_disp + net.min_disp + 1e-6
+
+    def test_depth_to_space_layout(self):
+        """Each output 2x2 block comes from one 1/2-res pixel's 4 logits
+        (channel c -> offset (c // 2, c % 2))."""
+        import numpy as np
+
+        net = DepthNet(num_scales=4, subpixel_head=True)
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, H, W, 3)), jnp.float32
+        )
+        variables = net.init(jax.random.PRNGKey(1), x)
+        disps = net.apply(variables, x)
+        fine = np.asarray(disps[-1][0, :, :, 0])
+        # Blocks are permutations of 4 independent predictions: the 4
+        # phase-planes must not be identical (unlike bilinear upsample).
+        phases = [fine[di::2, dj::2] for di in (0, 1) for dj in (0, 1)]
+        assert any(
+            not np.allclose(phases[0], p, atol=1e-7) for p in phases[1:]
+        )
+
+    def test_exclusive_with_fast_final_upsample(self):
+        net = DepthNet(fast_final_upsample=True, subpixel_head=True)
+        x = jnp.zeros((1, H, W, 3))
+        with pytest.raises(ValueError, match="exclusive"):
+            net.init(jax.random.PRNGKey(0), x)
