@@ -124,6 +124,21 @@ class DepthVO:
         state = ckpt_io.restore_weights(directory, state)
         return cls(config, state.params, state.batch_stats)
 
+    # ---- placement ----
+    def to_mesh(self, mesh) -> "DepthVO":
+        """Replicate weights over a ``jax.sharding.Mesh`` for data-parallel
+        batched inference (the eval analog of training's DP: batch sharded
+        on 'data', params replicated, zero code in the forward — XLA
+        partitions the jitted programs). Pass the mesh to
+        ``eval.runner.predict_depths(..., mesh=...)`` or shard inputs with
+        ``parallel.mesh.shard_batch``. Returns self."""
+        from depthvo_tpu.parallel import mesh as pmesh
+
+        repl = pmesh.replicated(mesh)
+        self.params = jax.device_put(self.params, repl)
+        self.batch_stats = jax.device_put(self.batch_stats, repl)
+        return self
+
     # ---- inference ----
     def depth(self, images: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) in [-1,1] (or raw uint8) -> (B, H, W) metric depth

@@ -187,6 +187,7 @@ def cmd_eval_depth(args) -> int:
         width=w,
         save_preds_dir=args.save_preds,
         model=model,
+        num_devices=args.num_devices,
     )
     print(json.dumps(metrics, indent=2))
     return 0
@@ -429,6 +430,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("eval-depth", help="Eigen-split depth metrics")
     _add_common(p)
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="data-parallel eval over N chips (batch sharded)")
     p.add_argument("--kitti-root", required=True)
     p.add_argument("--split-file", required=True)
     p.add_argument("--max-depth", type=float, default=80.0)

@@ -30,7 +30,7 @@ def _batched(items: List, batch_size: int):
 
 
 def predict_depths(
-    model: DepthVO, frames: np.ndarray, batch_size: int = 16
+    model: DepthVO, frames: np.ndarray, batch_size: int = 16, mesh=None
 ) -> np.ndarray:
     """Batched depth inference over (N, H, W, 3) frames -> (N, H, W).
 
@@ -43,8 +43,25 @@ def predict_depths(
     device the link, not the chip, is the bottleneck). Pass uint8 frames
     (data/kitti.py::load_image_u8) to cut upload bytes 4x; normalization
     then runs on-device, matching the host loader's to 1 ulp.
+
+    ``mesh``: a 1-D data mesh for multi-chip eval — each batch is sharded
+    over the 'data' axis (weights must be replicated first:
+    ``model.to_mesh(mesh)``); XLA partitions the forward with no further
+    code. ``batch_size`` must divide by ``mesh.size``.
     """
     import jax
+
+    if mesh is not None:
+        if batch_size % mesh.size:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by mesh {mesh.size}"
+            )
+        from depthvo_tpu.parallel import mesh as pmesh
+
+        sharding = pmesh.batch_sharding(mesh)
+        put = lambda b: jax.device_put(b, sharding)
+    else:
+        put = jax.device_put
 
     n = len(frames)
     disps = []
@@ -54,7 +71,7 @@ def predict_depths(
         pad = batch_size - len(batch)
         if pad:
             batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)])
-        dev = jax.device_put(batch)  # async upload
+        dev = put(batch)  # async upload
         disps.append(
             model._depth_fn(model.params, model.batch_stats, dev)  # async
         )
@@ -100,6 +117,7 @@ def run_depth_eval(
     batch_size: int = 16,
     save_preds_dir: str | None = None,
     model: DepthVO | None = None,
+    num_devices: int | None = None,
 ) -> Dict[str, float]:
     """Eigen-split depth benchmark: read test frames + gt depth npz/npy,
     run batched inference, resize to gt, compute the metric table.
@@ -126,7 +144,17 @@ def run_depth_eval(
             # see predict_depths and data/kitti.py::load_image_u8).
             frames.append(load_image_u8(img_path, height, width))
             gts.append(np.load(gt_path))
-    preds = predict_depths(model, np.stack(frames), batch_size)
+    mesh = None
+    if num_devices is not None and num_devices > 1:
+        # Data-parallel eval: weights replicated, batches sharded on
+        # 'data' (SURVEY.md §5 distributed backend — eval scales the
+        # same way training does).
+        from depthvo_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(num_devices)
+        model.to_mesh(mesh)
+        batch_size = -(-batch_size // mesh.size) * mesh.size
+    preds = predict_depths(model, np.stack(frames), batch_size, mesh=mesh)
     if save_preds_dir:
         # Reference parity: predictions land on disk as .npy before the
         # metric pass (SURVEY.md §3.2 "save predictions (.npy)").

@@ -151,3 +151,23 @@ def test_predict_trajectory_fast_path_matches_fallback():
     slow = predict_trajectory(model, _Slow(), batch_size=4)
     assert fast.shape == slow.shape == (6, 4, 4)
     np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-6)
+
+
+def test_predict_depths_data_parallel_matches_single():
+    """Data-parallel eval over the virtual 8-device mesh == single-device
+    (batch sharded on 'data', weights replicated via to_mesh)."""
+    import jax
+    from depthvo_tpu.parallel import mesh as pmesh
+
+    assert len(jax.devices()) >= 8
+    model = _tiny_model()
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 256, size=(10, 32, 96, 3), dtype=np.uint8)
+    single = predict_depths(model, frames, batch_size=8)
+    mesh = pmesh.make_mesh(8)
+    model.to_mesh(mesh)
+    sharded = predict_depths(model, frames, batch_size=8, mesh=mesh)
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="divisible"):
+        predict_depths(model, frames, batch_size=6, mesh=mesh)
