@@ -400,11 +400,26 @@ def fit(
 
     # Prefetch: a producer thread decodes + device_puts the next batches
     # while the current step runs (overlaps tunnel upload with compute).
+    # In scan mode the producer stacks K batches into one [K, ...] super-
+    # batch per dispatch, so host batch prep overlaps the K on-device
+    # steps instead of serializing between dispatches.
     sharded_iter = None
-    if prefetch > 0 and steps_per_call == 1:
+    if prefetch > 0:
         from depthvo_tpu.data.pipeline import prefetch_to_device
 
-        sharded_iter = prefetch_to_device(data_iter, mesh, buffer_size=prefetch)
+        if steps_per_call == 1:
+            sharded_iter = prefetch_to_device(
+                data_iter, mesh, buffer_size=prefetch
+            )
+        else:
+
+            def _stacked(it=data_iter, k=steps_per_call):
+                while True:
+                    yield stack_batches([next(it) for _ in range(k)])
+
+            sharded_iter = prefetch_to_device(
+                _stacked(), mesh, buffer_size=prefetch
+            )
 
     t0 = time.perf_counter()
     start_step = int(state.step)
@@ -414,14 +429,17 @@ def fit(
     while i < num_steps:
         k = min(steps_per_call, num_steps - i)
         if steps_per_call > 1:
-            # Stack K host batches; a short trailing call pads by repeating
-            # the last batch (keeps one compiled shape; extra steps are
-            # real optimizer steps on repeated data, matching num_steps
-            # only approximately on the tail).
-            batches = [next(data_iter) for _ in range(k)]
-            while len(batches) < steps_per_call:
-                batches.append(batches[-1])
-            batch = pmesh.shard_batch(stack_batches(batches), mesh)
+            # One [K, ...] super-batch per dispatch. A short trailing call
+            # still runs K real optimizer steps (prefetched path: fresh
+            # data; fallback path: last batch repeated), matching
+            # num_steps only approximately on the tail.
+            if sharded_iter is not None:
+                batch = next(sharded_iter)
+            else:
+                batches = [next(data_iter) for _ in range(k)]
+                while len(batches) < steps_per_call:
+                    batches.append(batches[-1])
+                batch = pmesh.shard_batch(stack_batches(batches), mesh)
             state, metrics = step_fn(state, batch)
             i += steps_per_call
         else:
