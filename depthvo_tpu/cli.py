@@ -100,11 +100,16 @@ def cmd_train(args) -> int:
               f"rounding up to {new_bs}")
         cfg = dataclasses.replace(cfg, batch_size=new_bs)
 
+    # Batches ship as raw uint8 (4x fewer host->device bytes; the train
+    # step normalizes on-device) unless the C++ prefetch ring — which
+    # emits normalized float32 — was explicitly requested.
+    use_u8 = not bool(args.native_ring)
     if args.train_list:
         from depthvo_tpu.data.kitti import load_train_list
 
         ds = load_train_list(
-            args.kitti_root or ".", args.train_list, cfg.model.height, cfg.model.width
+            args.kitti_root or ".", args.train_list,
+            cfg.model.height, cfg.model.width, u8=use_u8,
         )
         it = ds.iterator(cfg.batch_size)
         print(f"train list: {len(ds)} samples from {args.train_list}")
@@ -113,7 +118,8 @@ def cmd_train(args) -> int:
 
         seqs = [s.strip() for s in args.sequences.split(",") if s.strip()]
         ds = KittiOdomStereo(
-            args.kitti_odom_root, seqs, cfg.model.height, cfg.model.width
+            args.kitti_odom_root, seqs, cfg.model.height, cfg.model.width,
+            u8=use_u8,
         )
         it = ds.iterator(cfg.batch_size)
         print(f"KITTI odometry: {len(ds)} training samples from seqs {seqs}")
@@ -121,12 +127,15 @@ def cmd_train(args) -> int:
         from depthvo_tpu.data.kitti import KittiRawStereo
 
         drives = [d.strip() for d in args.drives.split(",") if d.strip()]
-        ds = KittiRawStereo(args.kitti_root, drives, cfg.model.height, cfg.model.width)
+        ds = KittiRawStereo(
+            args.kitti_root, drives, cfg.model.height, cfg.model.width,
+            u8=use_u8,
+        )
         it = ds.iterator(cfg.batch_size, native_ring=args.native_ring)
         print(f"KITTI raw: {len(ds)} training samples from {len(drives)} drives")
     else:
         print("no --kitti-root given: training on synthetic scenes")
-        it = SyntheticScenes(cfg, seed=cfg.seed).iterator(cfg.batch_size)
+        it = SyntheticScenes(cfg, seed=cfg.seed, u8=True).iterator(cfg.batch_size)
 
     # Validation (the Caffe solver test phase: test_interval/test_iter).
     eval_it = None
@@ -144,7 +153,7 @@ def cmd_train(args) -> int:
         else:
             # Held-out synthetic scenes (disjoint seed from training).
             eval_it = SyntheticScenes(
-                cfg, seed=cfg.seed + 1_000_003
+                cfg, seed=cfg.seed + 1_000_003, u8=True
             ).iterator(cfg.batch_size)
             print(f"validation: held-out synthetic scenes every "
                   f"{args.eval_every} steps (pass --val-list for real data)")

@@ -181,9 +181,13 @@ class KittiRawStereo:
         height: int = 160,
         width: int = 608,
         orig_size: Tuple[int, int] | None = None,
+        u8: bool = False,
     ):
         self.root = root
         self.height, self.width = height, width
+        # u8=True: batches carry raw uint8 frames (4x fewer host->device
+        # bytes; the train step normalizes on-device — train/loop.py).
+        self.u8 = u8
         self.samples: List[Tuple[str, str, str, np.ndarray]] = []
         for drive in drives:
             date = drive.split("_drive_")[0]
@@ -222,10 +226,11 @@ class KittiRawStereo:
     def get(self, idx: int) -> Dict[str, np.ndarray]:
         lt, rt, ls, K = self.samples[idx]
         h, w = self.height, self.width
+        load = load_image_u8 if self.u8 else load_image
         return {
-            "image_t": load_image(lt, h, w),
-            "image_r": load_image(rt, h, w),
-            "image_s": load_image(ls, h, w),
+            "image_t": load(lt, h, w),
+            "image_r": load(rt, h, w),
+            "image_s": load(ls, h, w),
             "K": K,
         }
 
@@ -253,8 +258,21 @@ class KittiRawStereo:
         builds and all samples are PNGs.
         """
         if native_ring is None:
-            native_ring = bool(_native()) and all(
-                p.lower().endswith(".png") for p, _, _, _ in self.samples[:8]
+            # The C++ ring emits normalized float32 batches; with u8
+            # batches requested, default to the per-image path (native
+            # decode still used inside load_image_u8).
+            native_ring = (
+                not self.u8
+                and bool(_native())
+                and all(
+                    p.lower().endswith(".png")
+                    for p, _, _, _ in self.samples[:8]
+                )
+            )
+        if native_ring and self.u8:
+            raise ValueError(
+                "native_ring=True emits float32 batches; construct the "
+                "dataset with u8=False (or pass native_ring=False)"
             )
         if native_ring:
             yield from self._native_ring_iterator(batch_size, seed, shuffle)
@@ -341,12 +359,13 @@ def write_train_list(dataset: "KittiRawStereo", path: str, root: str) -> int:
     return n
 
 
-def load_train_list(root: str, list_path: str, height: int = 160, width: int = 608) -> "KittiRawStereo":
+def load_train_list(root: str, list_path: str, height: int = 160, width: int = 608, u8: bool = False) -> "KittiRawStereo":
     """Build a KittiRawStereo from a prepared train-list file (the
     counterpart of :func:`write_train_list`)."""
     ds = KittiRawStereo.__new__(KittiRawStereo)
     ds.root = root
     ds.height, ds.width = height, width
+    ds.u8 = u8
     ds.samples = []
     with open(list_path) as f:
         for line in f:
@@ -384,9 +403,11 @@ class KittiOdomStereo(KittiRawStereo):
         height: int = 160,
         width: int = 608,
         orig_size: Tuple[int, int] | None = None,
+        u8: bool = False,
     ):
         self.root = root
         self.height, self.width = height, width
+        self.u8 = u8
         self.samples: List[Tuple[str, str, str, np.ndarray]] = []
         self.baselines: Dict[str, float] = {}
         for seq in sequences:

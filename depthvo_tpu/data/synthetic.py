@@ -62,7 +62,16 @@ class SyntheticScenes:
     exactly minimize the photometric losses.
     """
 
-    def __init__(self, config: ExperimentConfig, seed: int = 0, num_scenes: int = 8):
+    def __init__(
+        self,
+        config: ExperimentConfig,
+        seed: int = 0,
+        num_scenes: int = 8,
+        u8: bool = False,
+    ):
+        """``u8=True`` quantizes the rendered views to the uint8 grid
+        (what camera data is anyway) so batches ship 4x fewer bytes to
+        the device; the train step normalizes on-device."""
         self.config = config
         mc = config.model
         self.h, self.w = mc.height, mc.width
@@ -77,6 +86,13 @@ class SyntheticScenes:
             np.float32,
         )
         self._scenes = [self._make_scene(rng) for _ in range(num_scenes)]
+        if u8:
+            for s in self._scenes:
+                for k in ("image_t", "image_r", "image_s"):
+                    s[k] = (
+                        np.clip(np.round((s[k] + 1.0) * 127.5), 0, 255)
+                        .astype(np.uint8)
+                    )
         self._rng = rng
 
     # -- rendering helpers (numpy; mirrors geometry/warp semantics) --

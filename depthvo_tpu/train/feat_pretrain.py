@@ -108,7 +108,11 @@ def pretrain_features(
     step = make_pretrain_step(model, tx)
     for i in range(num_steps):
         batch = next(data_iter)
-        images = jnp.asarray(batch["image_t"], jnp.float32)
+        images = jnp.asarray(batch["image_t"])
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 127.5 - 1.0
+        else:
+            images = images.astype(jnp.float32)
         params, opt_state, rng, loss = step(params, opt_state, rng, images)
         if log_fn is not None:
             log_fn(i, float(loss))

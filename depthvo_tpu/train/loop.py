@@ -60,6 +60,8 @@ def compute_losses(
       models: (depth_net, odom_net, feat_net) modules.
       batch: dict with keys
         'image_t'  (B,H,W,3) target frame (left cam, time t), in [-1,1]
+                   float32 OR raw uint8 (normalized here on-device — ship
+                   uint8 to move 4x fewer bytes over the host link)
         'image_r'  (B,H,W,3) stereo pair (right cam), if use_stereo
         'image_s'  (B,H,W,3) temporal source (left cam, t+1), if use_temporal
         'K'        (B,3,3) intrinsics at full resolution
@@ -67,6 +69,14 @@ def compute_losses(
     Returns: (total_loss, (metrics, new_batch_stats))
     """
     depth_net, odom_net, feat_net = models
+    batch = {
+        k: (
+            v.astype(jnp.float32) / 127.5 - 1.0
+            if getattr(v, "dtype", None) == jnp.uint8
+            else v
+        )
+        for k, v in batch.items()
+    }
     image_t = batch["image_t"]
     K = batch["K"]
     B, H, W, _ = image_t.shape

@@ -4,6 +4,7 @@ version of the reference's de-facto integration testing (SURVEY.md §4:
 "overfit-one-batch loss-goes-down for each of the three training stages;
 multi-chip logic tested via the CPU host-platform fake 8-device mesh")."""
 
+import os
 import numpy as np
 import jax
 import pytest
@@ -235,3 +236,65 @@ def test_fit_periodic_validation():
     # Eval mode is not an optimizer step: train metrics are unaffected.
     s0, m0 = val_logs[0]
     assert all(k.startswith("val/") for k in m0)
+
+
+def test_compute_losses_accepts_uint8_batch():
+    """compute_losses normalizes raw uint8 frames on-device; the loss
+    matches the host-normalized float32 batch exactly (same values reach
+    the nets either way)."""
+    from depthvo_tpu.train.state import build_models
+
+    cfg = configs.tiny_test()
+    models = build_models(cfg)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    scenes = SyntheticScenes(cfg, seed=3, num_scenes=2, u8=True)
+    b_u8 = scenes.fixed_batch(2)
+    assert b_u8["image_t"].dtype == np.uint8
+    b_f32 = dict(b_u8)
+    for k in ("image_t", "image_r", "image_s"):
+        b_f32[k] = b_u8[k].astype(np.float32) / 127.5 - 1.0
+    import jax.numpy as jnp
+
+    b_u8 = {k: jnp.asarray(v) for k, v in b_u8.items()}
+    b_f32 = {k: jnp.asarray(v) for k, v in b_f32.items()}
+    l_u8, (m_u8, _) = train_loop.compute_losses(
+        cfg, models, state.params, state.batch_stats, b_u8, train=False
+    )
+    l_f32, _ = train_loop.compute_losses(
+        cfg, models, state.params, state.batch_stats, b_f32, train=False
+    )
+    np.testing.assert_allclose(float(l_u8), float(l_f32), rtol=1e-5, atol=1e-7)
+
+
+def test_kitti_u8_loader_roundtrip(tmp_path):
+    """u8=True datasets yield uint8 batches whose normalization matches
+    the f32 loader within the native quantization bound."""
+    from PIL import Image as PILImage
+
+    from depthvo_tpu.data import kitti
+
+    root = str(tmp_path)
+    drive = "2011_09_26_drive_0001_sync"
+    ddir = os.path.join(root, "2011_09_26", drive)
+    rng = np.random.default_rng(0)
+    for cam in ("image_02", "image_03"):
+        d = os.path.join(ddir, cam, "data")
+        os.makedirs(d)
+        for i in range(3):
+            PILImage.fromarray(
+                rng.integers(0, 256, (40, 128, 3), dtype=np.uint8)
+            ).save(os.path.join(d, f"{i:010d}.png"))
+    with open(os.path.join(root, "2011_09_26", "calib_cam_to_cam.txt"), "w") as f:
+        f.write("P_rect_02: 720 0 64 0 0 720 20 0 0 0 1 0\n")
+    ds8 = kitti.KittiRawStereo(root, [drive], height=16, width=48, u8=True)
+    ds32 = kitti.KittiRawStereo(root, [drive], height=16, width=48)
+    a, b = ds8.get(0), ds32.get(0)
+    assert a["image_t"].dtype == np.uint8
+    diff = np.abs(a["image_t"].astype(np.float32) / 127.5 - 1.0 - b["image_t"])
+    assert diff.max() <= 1.0 / 255.0 + 1e-6
+
+    # The float32-emitting native ring refuses a u8 dataset.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="float32"):
+        next(ds8.iterator(2, native_ring=True))
