@@ -373,8 +373,21 @@ def cmd_export_caffemodel(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    from depthvo_tpu.utils.profiling import run_benchmark
+    from depthvo_tpu.utils.profiling import depth_layer_table, run_benchmark
 
+    if args.mode == "depth_layers":
+        result = depth_layer_table(
+            batch_size=args.batch_size,
+            height=args.height or 160,
+            width=args.width or 608,
+            steps=args.steps,
+            variant=args.variant,
+        )
+        for row in result["rows"]:
+            print(f"{row['layer']:16s} {row['layer_ms']:8.3f} ms"
+                  f"  (cumulative {row['cumulative_ms']:8.3f} ms)")
+        print(json.dumps(result))
+        return 0
     result = run_benchmark(
         mode=args.mode,
         batch_size=args.batch_size,
@@ -508,7 +521,7 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--mode", default="depth_infer",
                    choices=["depth_infer", "train_step", "train_step_scan",
-                            "odom_infer", "warp"])
+                            "odom_infer", "warp", "depth_layers"])
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace here")

@@ -62,6 +62,108 @@ def time_fn(
     }
 
 
+def depth_layer_order(num_scales: int, n_up: int = 5) -> list:
+    """DepthNet top-level module boundaries in execution order (the rows
+    of the ``caffe time``-style per-layer table)."""
+    order = ["ConvBlock_0"] + [f"ResNetStage_{i}" for i in range(4)]
+    head = 0
+    for i in range(n_up):
+        order += [f"UpConv_{i}", f"ConvBlock_{i + 1}"]
+        if i - (n_up - num_scales) >= 0:
+            order.append(f"Conv_{head}")
+            head += 1
+    return order
+
+
+def depth_layer_table(
+    batch_size: int = 128,
+    height: int = 160,
+    width: int = 608,
+    steps: int = 5,
+    variant: str = "full_feat",
+) -> Dict[str, Any]:
+    """Per-layer forward timing of DepthNet — the ``caffe time`` analog
+    (SURVEY.md §3.5: per-layer Forward timing table).
+
+    XLA compiles whole programs, so layers cannot be timed inside one
+    run; instead each top-level module boundary is timed as its own
+    jitted PREFIX program (flax ``capture_intermediates`` + XLA dead-code
+    elimination discards everything after the returned intermediate), and
+    the per-layer time is the difference of consecutive cumulative times.
+    Differences of medians are noisy for cheap layers (can go slightly
+    negative); the cumulative column is the trustworthy one. One compile
+    per boundary — slow the first time, cached after.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from depthvo_tpu import configs
+    from depthvo_tpu.train.state import build_models, create_state
+
+    cfg = getattr(configs, variant)()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, height=height, width=width)
+    )
+    depth_net, _, _ = build_models(cfg)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    variables = {
+        "params": state.params["depth"],
+        "batch_stats": state.batch_stats,
+    }
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.uniform(-1, 1, (batch_size, height, width, 3)), jnp.float32
+    )
+    order = depth_layer_order(cfg.model.num_scales)
+
+    def make_prefix_fn(boundary):
+        @jax.jit
+        def prefix(variables, x):
+            def body(c, _):
+                _, mods = depth_net.apply(
+                    variables,
+                    x + c * 0.0,  # carry-dependent: no loop hoisting
+                    train=False,
+                    # Match the TOP-LEVEL module only — name-matching would
+                    # also hit nested Conv_0/ConvBlock_0 inside stages.
+                    capture_intermediates=(
+                        lambda mdl, name: mdl.path == (boundary,)
+                    ),
+                    mutable=["intermediates"],
+                )
+                leaf = jax.tree.leaves(mods["intermediates"])[0]
+                return c + jnp.sum(leaf.astype(jnp.float32)), None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=4)
+            return c
+
+        return prefix
+
+    rows = []
+    prev = 0.0
+    for boundary in order:
+        fn = make_prefix_fn(boundary)
+        st = time_fn(lambda f=fn: f(variables, x), steps=steps, warmup=2, chunk=2)
+        cum = st["median_s"] / 4
+        rows.append(
+            {
+                "layer": boundary,
+                "cumulative_ms": round(cum * 1e3, 3),
+                "layer_ms": round((cum - prev) * 1e3, 3),
+            }
+        )
+        prev = cum
+    return {
+        "mode": "depth_layers",
+        "batch_size": batch_size,
+        "height": height,
+        "width": width,
+        "backend": jax.default_backend(),
+        "rows": rows,
+    }
+
+
 @contextlib.contextmanager
 def maybe_trace(trace_dir: str | None):
     """jax.profiler trace context (no-op when trace_dir is None)."""

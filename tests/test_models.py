@@ -124,3 +124,24 @@ class TestSubpixelHead:
         x = jnp.zeros((1, H, W, 3))
         with pytest.raises(ValueError, match="exclusive"):
             net.init(jax.random.PRNGKey(0), x)
+
+
+def test_depth_layer_order_and_table():
+    """The caffe-time-analog per-layer table covers every top-level
+    DepthNet boundary in execution order (profiling.depth_layer_order),
+    and the prefix-timing harness produces a row per boundary."""
+    from depthvo_tpu.utils.profiling import depth_layer_order, depth_layer_table
+
+    order = depth_layer_order(num_scales=4)
+    assert order[0] == "ConvBlock_0" and order[1:5] == [
+        f"ResNetStage_{i}" for i in range(4)
+    ]
+    assert order[-1] == "Conv_3" and order.count("Conv_0") == 1
+    assert len(order) == 1 + 4 + 5 * 2 + 4
+
+    result = depth_layer_table(
+        batch_size=1, height=32, width=96, steps=1, variant="tiny_test"
+    )
+    rows = result["rows"]
+    assert [r["layer"] for r in rows] == depth_layer_order(num_scales=2)
+    assert all(r["cumulative_ms"] > 0 for r in rows)
