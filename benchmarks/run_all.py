@@ -130,7 +130,7 @@ def _train_config(variant: str, config_id: int, batch_size: int = 4,
         seq = run_benchmark(
             mode="train_step", batch_size=batch_size, steps=steps, variant=variant
         )
-        detail["steps_per_call"] = 8
+        detail["steps_per_call"] = r["steps_per_call"]
         detail["sequential_dispatch_step_s"] = seq["median_s"]
     return {
         "config": config_id,

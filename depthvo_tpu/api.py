@@ -29,19 +29,7 @@ import numpy as np
 from depthvo_tpu.configs.base import ExperimentConfig, full_feat
 from depthvo_tpu.geometry import se3
 from depthvo_tpu.train.state import build_models, create_state
-
-
-def _to_unit(images: jax.Array) -> jax.Array:
-    """[-1, 1] float32 from either pre-normalized floats or raw uint8.
-
-    uint8 inputs are normalized on-device with the exact formula the host
-    loaders use (data/kitti.py::load_image); the two routes agree to
-    1 ulp (XLA may fuse the normalize into an FMA) — uint8 just moves 4x
-    fewer bytes to the device.
-    """
-    if images.dtype == jnp.uint8:
-        return images.astype(jnp.float32) / 127.5 - 1.0
-    return images.astype(jnp.float32)
+from depthvo_tpu.utils.images import to_unit as _to_unit
 
 
 def _as_batch(images: np.ndarray) -> jax.Array:

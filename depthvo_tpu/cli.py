@@ -145,7 +145,7 @@ def cmd_train(args) -> int:
 
             val_ds = load_train_list(
                 args.kitti_root or ".", args.val_list,
-                cfg.model.height, cfg.model.width,
+                cfg.model.height, cfg.model.width, u8=use_u8,
             )
             eval_it = val_ds.iterator(cfg.batch_size, shuffle=False)
             print(f"validation: {len(val_ds)} samples from {args.val_list} "
@@ -376,13 +376,16 @@ def cmd_bench(args) -> int:
     from depthvo_tpu.utils.profiling import depth_layer_table, run_benchmark
 
     if args.mode == "depth_layers":
-        result = depth_layer_table(
-            batch_size=args.batch_size,
-            height=args.height or 160,
-            width=args.width or 608,
-            steps=args.steps,
-            variant=args.variant,
-        )
+        from depthvo_tpu.utils.profiling import maybe_trace
+
+        with maybe_trace(args.trace_dir):
+            result = depth_layer_table(
+                batch_size=args.batch_size,
+                height=args.height or 160,
+                width=args.width or 608,
+                steps=args.steps,
+                variant=args.variant,
+            )
         for row in result["rows"]:
             print(f"{row['layer']:16s} {row['layer_ms']:8.3f} ms"
                   f"  (cumulative {row['cumulative_ms']:8.3f} ms)")

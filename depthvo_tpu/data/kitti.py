@@ -86,7 +86,11 @@ def load_image_u8(path: str, height: int, width: int) -> np.ndarray:
     if native and path.lower().endswith(".png"):
         try:
             arr = native.load_resized(path, height, width)
-            return np.round((arr + 1.0) * 127.5).astype(np.uint8)
+            # Clip before the cast: a value even half a step outside
+            # [-1, 1] would otherwise wrap (256 -> 0) in uint8.
+            return np.clip(np.round((arr + 1.0) * 127.5), 0, 255).astype(
+                np.uint8
+            )
         except ValueError:
             pass
     if Image is None:  # pragma: no cover

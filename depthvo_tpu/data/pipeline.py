@@ -32,6 +32,7 @@ def prefetch_to_device(
     it: Iterator[Dict[str, np.ndarray]],
     mesh=None,
     buffer_size: int = 2,
+    shard_fn: Callable[[Any, Any], Any] | None = None,
 ) -> Iterator[Any]:
     """Prefetch host batches onto the device/mesh on a background thread.
 
@@ -39,9 +40,15 @@ def prefetch_to_device(
     the consumer gets arrays that are already on (or in flight to) the
     device — the training loop never blocks on host work unless the
     producer falls behind by ``buffer_size`` batches.
+
+    ``shard_fn(batch, mesh)`` overrides the placement (default
+    ``parallel.mesh.shard_batch``; scan-mode super-batches pass
+    ``shard_stacked_batch`` so the PER-STEP batch axis is the sharded one).
     """
     if mesh is None:
         mesh = pmesh.make_mesh(1)
+    if shard_fn is None:
+        shard_fn = pmesh.shard_batch
     q: queue.Queue = queue.Queue(maxsize=buffer_size)
     stop = threading.Event()
 
@@ -50,7 +57,7 @@ def prefetch_to_device(
             for batch in it:
                 if stop.is_set():
                     return
-                q.put(pmesh.shard_batch(batch, mesh))
+                q.put(shard_fn(batch, mesh))
         finally:
             q.put(None)
 

@@ -63,22 +63,32 @@ def predict_depths(
     else:
         put = jax.device_put
 
+    # Bound in-flight device memory: keep at most MAX_IN_FLIGHT enqueued
+    # (input + output) batches before draining the oldest — enough to
+    # keep transfers and compute overlapped, without growing HBM linearly
+    # with the sweep length.
+    MAX_IN_FLIGHT = 32
     n = len(frames)
-    disps = []
-    counts = []
+    pending: list = []
+    out = []
+
+    def drain_one():
+        d, c = pending.pop(0)
+        out.append(np.asarray(1.0 / d[..., 0])[:c])
+
     for chunk in _batched(list(range(n)), batch_size):
         batch = frames[chunk[0] : chunk[-1] + 1]
         pad = batch_size - len(batch)
         if pad:
             batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)])
         dev = put(batch)  # async upload
-        disps.append(
-            model._depth_fn(model.params, model.batch_stats, dev)  # async
+        pending.append(
+            (model._depth_fn(model.params, model.batch_stats, dev), len(chunk))
         )
-        counts.append(len(chunk))
-    out = [
-        np.asarray(1.0 / d[..., 0])[:c] for d, c in zip(disps, counts)
-    ]
+        if len(pending) >= MAX_IN_FLIGHT:
+            drain_one()
+    while pending:
+        drain_one()
     return np.concatenate(out, axis=0)
 
 

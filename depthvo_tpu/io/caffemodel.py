@@ -180,10 +180,23 @@ def oihw_to_hwio(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))
 
 
+def _bgr_group_index(c: int) -> np.ndarray:
+    """Channel permutation flipping each RGB triplet in place. For
+    multi-frame inputs (c = 3k, e.g. the 6-channel odometry pair) every
+    frame's triplet flips but FRAME ORDER is preserved — a full-axis
+    reverse would swap the frames. Non-multiple-of-3 falls back to a
+    full reverse."""
+    if c % 3:
+        return np.arange(c)[::-1]
+    return np.concatenate(
+        [np.arange(g * 3, g * 3 + 3)[::-1] for g in range(c // 3)]
+    )
+
+
 def bgr_flip_input_channels(w_hwio: np.ndarray) -> np.ndarray:
-    """Reverse the input-channel axis of a first-layer conv so a network
-    trained on BGR (Caffe) accepts RGB inputs."""
-    return w_hwio[:, :, ::-1, :].copy()
+    """Flip the input-channel axis of a first-layer conv between BGR
+    (Caffe convention) and RGB, triplet-wise (see _bgr_group_index)."""
+    return w_hwio[:, :, _bgr_group_index(w_hwio.shape[2]), :].copy()
 
 
 def fold_bn_scale(

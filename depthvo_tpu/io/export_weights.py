@@ -51,8 +51,9 @@ def export_layers(
             if first_conv:
                 # Caffe-ecosystem files consume BGR; flip the RGB-trained
                 # first conv so the export is a faithful Caffe model (the
-                # importer flips it back).
-                w = w[:, ::-1].copy()
+                # importer flips it back). Triplet-wise: a 6-channel
+                # two-frame input keeps its frame order.
+                w = w[:, caffemodel._bgr_group_index(w.shape[1])].copy()
                 first_conv = False
             blobs.append(w)
             type_str = "Convolution"

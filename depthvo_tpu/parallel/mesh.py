@@ -57,3 +57,19 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
         return jax.device_put(x, sh)
 
     return jax.tree.map(put, batch)
+
+
+def shard_stacked_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a [K, batch, ...] stacked super-batch (scan mode) onto the
+    mesh with the PER-STEP batch axis (axis 1) sharded over ``data`` —
+    sharding axis 0 would split the scan axis instead and silently lose
+    data parallelism. Leaves without a shardable axis 1 are replicated."""
+    data = NamedSharding(mesh, P(None, DATA_AXIS))
+    repl = replicated(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        sh = data if x.ndim >= 2 and x.shape[1] % mesh.size == 0 else repl
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, batch)

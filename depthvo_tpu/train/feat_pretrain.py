@@ -26,6 +26,7 @@ import optax
 
 from depthvo_tpu.configs.base import ExperimentConfig
 from depthvo_tpu.models import FeatNet
+from depthvo_tpu.utils.images import to_unit
 
 
 def photometric_augment(rng: jax.Array, images: jax.Array) -> jax.Array:
@@ -108,11 +109,7 @@ def pretrain_features(
     step = make_pretrain_step(model, tx)
     for i in range(num_steps):
         batch = next(data_iter)
-        images = jnp.asarray(batch["image_t"])
-        if images.dtype == jnp.uint8:
-            images = images.astype(jnp.float32) / 127.5 - 1.0
-        else:
-            images = images.astype(jnp.float32)
+        images = to_unit(jnp.asarray(batch["image_t"]))
         params, opt_state, rng, loss = step(params, opt_state, rng, images)
         if log_fn is not None:
             log_fn(i, float(loss))

@@ -43,6 +43,7 @@ from depthvo_tpu.losses import (
 from depthvo_tpu.losses.photometric import masked_l1
 from depthvo_tpu.models.layers import resize_bilinear
 from depthvo_tpu.parallel import mesh as pmesh
+from depthvo_tpu.utils.images import to_unit
 from depthvo_tpu.train.state import TrainState, build_models, create_state, make_optimizer
 
 
@@ -70,11 +71,7 @@ def compute_losses(
     """
     depth_net, odom_net, feat_net = models
     batch = {
-        k: (
-            v.astype(jnp.float32) / 127.5 - 1.0
-            if getattr(v, "dtype", None) == jnp.uint8
-            else v
-        )
+        k: to_unit(v) if getattr(v, "dtype", None) == jnp.uint8 else v
         for k, v in batch.items()
     }
     image_t = batch["image_t"]
@@ -428,7 +425,8 @@ def fit(
                     yield stack_batches([next(it) for _ in range(k)])
 
             sharded_iter = prefetch_to_device(
-                _stacked(), mesh, buffer_size=prefetch
+                _stacked(), mesh, buffer_size=prefetch,
+                shard_fn=pmesh.shard_stacked_batch,
             )
 
     t0 = time.perf_counter()
@@ -449,7 +447,7 @@ def fit(
                 batches = [next(data_iter) for _ in range(k)]
                 while len(batches) < steps_per_call:
                     batches.append(batches[-1])
-                batch = pmesh.shard_batch(stack_batches(batches), mesh)
+                batch = pmesh.shard_stacked_batch(stack_batches(batches), mesh)
             state, metrics = step_fn(state, batch)
             i += steps_per_call
         else:

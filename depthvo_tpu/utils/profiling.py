@@ -210,6 +210,7 @@ def run_benchmark(
 
     rng = np.random.default_rng(0)
     stats_scale = 1  # iterations folded inside one dispatch (scan modes)
+    extra: Dict[str, Any] = {}  # mode-specific result fields
 
     def _cfg(**over):
         cfg = getattr(configs, variant)(**over)
@@ -263,13 +264,14 @@ def run_benchmark(
         batch_np = SyntheticScenes(cfg, seed=0, num_scenes=2).batch(batch_size)
         if mode == "train_step_scan":
             K_SCAN = 8
-            batch = pmesh.shard_batch(
+            batch = pmesh.shard_stacked_batch(
                 train_loop.stack_batches([batch_np] * K_SCAN), mesh
             )
             step_fn = train_loop.make_scan_train_step(
                 cfg, mesh, steps_per_call=K_SCAN
             )
             stats_scale = K_SCAN
+            extra = {"steps_per_call": K_SCAN}
         else:
             batch = pmesh.shard_batch(batch_np, mesh)
             step_fn = train_loop.make_train_step(cfg, mesh)
@@ -314,5 +316,6 @@ def run_benchmark(
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         **stats,
+        **extra,
         "frames_per_sec": frames_per_sec,
     }

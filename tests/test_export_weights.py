@@ -119,3 +119,36 @@ class TestExportImportRoundtrip:
         np.testing.assert_array_equal(
             blobs[0], np.transpose(first_kernel, (3, 2, 0, 1))[:, ::-1]
         )
+
+
+def test_multiframe_first_conv_flip_preserves_frame_order():
+    """The odometry net's 6-channel first conv flips BGR per frame, NOT
+    across the whole axis (which would swap the two frames and break
+    Caffe-ecosystem interop)."""
+    import numpy as np
+
+    from depthvo_tpu.io.caffemodel import bgr_flip_input_channels
+
+    w = np.zeros((1, 1, 6, 1), np.float32)
+    w[0, 0, :, 0] = [0, 1, 2, 10, 11, 12]  # frame1 RGB, frame2 RGB
+    flipped = bgr_flip_input_channels(w)[0, 0, :, 0]
+    # Each frame's triplet reversed in place; frame order intact.
+    np.testing.assert_array_equal(flipped, [2, 1, 0, 12, 11, 10])
+
+    # 3-channel first conv: unchanged semantics (full reverse).
+    w3 = np.zeros((1, 1, 3, 1), np.float32)
+    w3[0, 0, :, 0] = [0, 1, 2]
+    np.testing.assert_array_equal(
+        bgr_flip_input_channels(w3)[0, 0, :, 0], [2, 1, 0]
+    )
+
+    # Export -> import round trip still exact for the odom net.
+    state, _ = _tiny_state(seed=2)
+    other, _ = _tiny_state(seed=3)
+    raw = export_caffemodel(state.params["odom"])
+    layers = caffemodel.parse_caffemodel(raw)
+    params2, _ = import_by_shape_order(layers, other.params["odom"], strict=True)
+    flat_a = jax.tree_util.tree_leaves_with_path(state.params["odom"])
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(params2))
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_b[path]))

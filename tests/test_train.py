@@ -298,3 +298,33 @@ def test_kitti_u8_loader_roundtrip(tmp_path):
 
     with _pytest.raises(ValueError, match="float32"):
         next(ds8.iterator(2, native_ring=True))
+
+
+def test_scan_step_shards_batch_axis_over_mesh():
+    """Scan-mode super-batches must shard the PER-STEP batch axis (axis
+    1), not the scan axis: an 8-device scan run matches the single-device
+    run (the regression sharded axis 0 = K and broke/neutered DP)."""
+    assert len(jax.devices()) >= 8
+    cfg = configs.tiny_test(batch_size=8)
+    scenes = SyntheticScenes(cfg, seed=11, num_scenes=2)
+    K = 4
+
+    def run(mesh):
+        batches = [scenes.fixed_batch(cfg.batch_size) for _ in range(K)]
+        stacked = train_loop.stack_batches(batches)
+        sharded = pmesh.shard_stacked_batch(stacked, mesh)
+        # Batch axis (1) carries the 'data' sharding; scan axis does not.
+        img = sharded["image_t"]
+        if mesh.size > 1:
+            spec = img.sharding.spec
+            assert len(spec) >= 2 and spec[0] is None and spec[1] == "data"
+        state = jax.device_put(
+            create_state(cfg, jax.random.PRNGKey(0)), pmesh.replicated(mesh)
+        )
+        step = train_loop.make_scan_train_step(cfg, mesh, steps_per_call=K)
+        state, metrics = step(state, sharded)
+        return float(metrics["loss/total"])
+
+    l8 = run(pmesh.make_mesh(8))
+    l1 = run(pmesh.make_mesh(1))
+    np.testing.assert_allclose(l8, l1, rtol=5e-4, atol=1e-6)
