@@ -24,6 +24,12 @@ from depthvo_tpu.eval.odometry import (
 )
 
 
+# Bound on enqueued-but-unfetched eval batches (inputs + outputs both
+# stay in HBM until drained): large enough to overlap transfers with
+# compute, small enough that sweeps of any length stay memory-bounded.
+MAX_IN_FLIGHT = 32
+
+
 def _batched(items: List, batch_size: int):
     for i in range(0, len(items), batch_size):
         yield items[i : i + batch_size]
@@ -63,11 +69,6 @@ def predict_depths(
     else:
         put = jax.device_put
 
-    # Bound in-flight device memory: keep at most MAX_IN_FLIGHT enqueued
-    # (input + output) batches before draining the oldest — enough to
-    # keep transfers and compute overlapped, without growing HBM linearly
-    # with the sweep length.
-    MAX_IN_FLIGHT = 32
     n = len(frames)
     pending: list = []
     out = []

@@ -171,3 +171,18 @@ def test_predict_depths_data_parallel_matches_single():
 
     with pytest.raises(ValueError, match="divisible"):
         predict_depths(model, frames, batch_size=6, mesh=mesh)
+
+
+def test_predict_depths_bounded_inflight_preserves_order(monkeypatch):
+    """With MAX_IN_FLIGHT forced below the chunk count, the interleaved
+    enqueue/drain path must return frames in order and match the
+    all-enqueued result."""
+    from depthvo_tpu.eval import runner
+
+    model = _tiny_model()
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(10, 32, 96, 3), dtype=np.uint8)
+    baseline = predict_depths(model, frames, batch_size=2)  # 5 chunks < 32
+    monkeypatch.setattr(runner, "MAX_IN_FLIGHT", 2)
+    out = predict_depths(model, frames, batch_size=2)  # drains mid-loop
+    np.testing.assert_array_equal(out, baseline)
