@@ -49,6 +49,15 @@ def frozen_warp(src, depth, T, K, use_pallas: bool | None = None,
     ``pad_v - 1`` rows (default ``GEN_PAD_V``; see
     ``configs.base.ExperimentConfig.warp_pad_v`` for the quantified
     coverage) or horizontal beyond 127 px is invalid.
+
+    Channel-width note (measured, v5e-1): the kernel's cost is ~linear
+    in C (per-channel candidate loop) while XLA's gather is ~channel-
+    flat, and an ISOLATED fwd+bwd microbenchmark has XLA ahead at C=19
+    (12.6 vs 14.6 ms). In the full training graph the kernel still wins
+    (34.7 vs 36.2 ms/step for the fused RGB+feature payload) — XLA's
+    gather/scatter backward fuses worse in situ — so dispatch stays
+    kernel-first at every payload width; revisit only with in-graph
+    numbers.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
