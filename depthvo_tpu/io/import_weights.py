@@ -2,19 +2,27 @@
 
 Completes the fidelity-gate path (SURVEY.md §7 step 2): ``caffemodel.py``
 parses the released file into {layer_name: blobs}; this module places
-those blobs into a model's parameter pytree.
+those blobs into a model's parameter pytree. Two strategies:
 
-Because the reference's exact prototxt layer names are unverifiable
-(empty mount — SURVEY.md header), the primary strategy is *shape-ordered
-matching*: walk the flax params in definition order and consume imported
-conv/BN/dense layers in file order wherever shapes agree exactly. With
-the real prototxt available this can be tightened to name-based mapping
-via an explicit ``name_map``.
+* :func:`import_by_name` — an explicit ``name_map``
+  {caffe_layer_name -> dotted flax module path}; each entry is placed
+  with a strict shape check and a full assignment report; model params
+  not covered by the map fall back to shape-order against the layers the
+  map did not consume. This is the strategy to use with real released
+  weights, where a ResNet-50 is full of identically-shaped 1x1/3x3
+  kernels and file order cannot be trusted to match traversal order.
+* :func:`import_by_shape_order` — walk the flax params in definition
+  order and consume imported conv/BN/dense layers in file order wherever
+  shapes agree exactly. Fine for self-produced files (our exporter
+  writes traversal order) and as the fallback above.
+
+BN+Scale pairs go through :func:`import_bn_by_name` /
+:func:`import_bn_by_order` analogously.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 import jax
 import numpy as np
@@ -105,6 +113,267 @@ def import_by_shape_order(
     ) for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
     new_leaves = [leaves[p] for p in path_order]
     return jax.tree_util.tree_unflatten(treedef, new_leaves), report
+
+
+def _rebuild(tree: Any, leaves: Dict[Tuple[str, ...], np.ndarray]) -> Any:
+    treedef = jax.tree_util.tree_structure(tree)
+    order = [
+        tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
+    ]
+    return jax.tree_util.tree_unflatten(treedef, [leaves[p] for p in order])
+
+
+def import_by_name(
+    layers: Dict[str, Dict],
+    params: Any,
+    name_map: Dict[str, str],
+    flip_bgr_first_conv: bool = True,
+    bgr_layers: Optional[Iterable[str]] = None,
+    strict: bool = True,
+    fallback_shape_order: bool = True,
+) -> Tuple[Any, Dict[str, Dict[str, str]]]:
+    """Fill ``params`` from parsed Caffe layers via an explicit name map.
+
+    ``name_map`` maps a Caffe layer name (as it appears in the released
+    prototxt/caffemodel, e.g. ``conv1``, ``res2a_branch2a``, ``fc_pose``)
+    to the dotted flax module path that owns the matching ``kernel``
+    (e.g. ``ConvBlock_0.Conv_0``). Every entry is placed with a strict
+    shape check; the bias blob (when present) rides along. Model kernels
+    NOT covered by the map are then filled by shape-order matching
+    against the layers the map did not consume (disable with
+    ``fallback_shape_order=False``).
+
+    BGR→RGB handling: Caffe's first conv consumes BGR input. By default
+    the first *mapped* 4-d conv in caffemodel file order gets its input
+    channels triplet-flipped (matching :func:`import_by_shape_order`
+    semantics); pass ``bgr_layers`` (an iterable of Caffe layer names) to
+    flip an explicit set instead — e.g. both tower-input convs of a
+    siamese graph — or ``flip_bgr_first_conv=False`` for none.
+
+    Returns ``(new_params, report)`` where ``report`` maps each filled
+    dotted param path to ``{"layer": caffe_name, "via": "name"|"shape"}``.
+    With ``strict`` (default) raises ``ValueError`` listing every
+    problem at once: name_map entries whose layer is missing from the
+    file, whose path does not exist in ``params``, or whose converted
+    shape disagrees — so a mismatched release fails loudly, not by
+    silently mis-seating a 1x1 kernel.
+    """
+    flat = _flatten_with_path(params)
+    leaves = {path: leaf.copy() for path, leaf in flat}
+    path_index = {".".join(p): p for p, _ in flat}
+    report: Dict[str, Dict[str, str]] = {}
+    problems: List[str] = []
+
+    file_order = list(layers)
+    if bgr_layers is not None:
+        flip_set = set(bgr_layers)
+    elif flip_bgr_first_conv:
+        # The FIRST 4-d conv in file order is the input conv and gets the
+        # BGR flip. If it is in the map, flip it here; if not, leave the
+        # set empty so the shape-order fallback flips it when consumed.
+        flip_set = set()
+        for name in file_order:
+            blobs = layers[name]["blobs"]
+            if blobs and blobs[0].ndim == 4:
+                if name in name_map:
+                    flip_set = {name}
+                break
+    else:
+        flip_set = set()
+
+    used = set()
+    for caffe_name, module_path in name_map.items():
+        layer = layers.get(caffe_name)
+        if layer is None:
+            problems.append(f"name_map layer {caffe_name!r} not in caffemodel")
+            continue
+        if not layer["blobs"]:
+            problems.append(f"name_map layer {caffe_name!r} has no blobs")
+            continue
+        kernel_key = path_index.get(module_path + ".kernel")
+        if kernel_key is None:
+            problems.append(
+                f"name_map target {module_path!r} has no .kernel in params"
+            )
+            continue
+        conv = caffemodel.conv_params(layer, flip_bgr=caffe_name in flip_set)
+        want = leaves[kernel_key].shape
+        if conv["kernel"].shape != tuple(want):
+            problems.append(
+                f"{caffe_name!r} -> {module_path!r}: shape "
+                f"{conv['kernel'].shape} != model {tuple(want)}"
+            )
+            continue
+        leaves[kernel_key] = conv["kernel"]
+        report[module_path + ".kernel"] = {"layer": caffe_name, "via": "name"}
+        bias_key = kernel_key[:-1] + ("bias",)
+        if bias_key in leaves:
+            if "bias" not in conv:
+                problems.append(
+                    f"{caffe_name!r}: model expects a bias, file has none"
+                )
+            elif conv["bias"].shape != leaves[bias_key].shape:
+                problems.append(
+                    f"{caffe_name!r} bias shape {conv['bias'].shape} != "
+                    f"model {leaves[bias_key].shape}"
+                )
+            else:
+                leaves[bias_key] = conv["bias"]
+        used.add(caffe_name)
+
+    if strict and problems:
+        raise ValueError(
+            "import_by_name: %d problem(s):\n  %s"
+            % (len(problems), "\n  ".join(problems))
+        )
+
+    if fallback_shape_order:
+        # Shape-order pass over ONLY the kernels the map did not fill,
+        # consuming ONLY the layers the map did not use (a full-tree
+        # shape-order pass would let a leftover layer steal an already
+        # name-seated slot of the same shape).
+        remaining = [
+            (n, layers[n])
+            for n in file_order
+            if n not in used
+            and layers[n]["blobs"]
+            and layers[n]["blobs"][0].ndim in (2, 4)
+        ]
+        first_conv_pending = flip_bgr_first_conv and not flip_set
+        for key in [p for p, _ in flat if p[-1] == "kernel"]:
+            dotted = ".".join(key)
+            if dotted in report:
+                continue
+            want = leaves[key].shape
+            for n, layer in remaining:
+                if n in used:
+                    continue
+                w = layer["blobs"][0]
+                conv = caffemodel.conv_params(
+                    layer, flip_bgr=first_conv_pending and w.ndim == 4
+                )
+                if conv["kernel"].shape != tuple(want):
+                    continue
+                leaves[key] = conv["kernel"]
+                report[dotted] = {"layer": n, "via": "shape"}
+                if w.ndim == 4:
+                    first_conv_pending = False
+                bias_key = key[:-1] + ("bias",)
+                if (
+                    "bias" in conv
+                    and bias_key in leaves
+                    and conv["bias"].shape == leaves[bias_key].shape
+                ):
+                    leaves[bias_key] = conv["bias"]
+                used.add(n)
+                break
+    new_params = _rebuild(params, leaves)
+
+    unmatched = [
+        ".".join(p)
+        for p, _ in flat
+        if p[-1] == "kernel" and ".".join(p) not in report
+    ]
+    if strict and unmatched:
+        raise ValueError(f"import_by_name: unmatched params: {unmatched}")
+    return new_params, report
+
+
+def import_bn_by_name(
+    layers: Dict[str, Dict],
+    params: Any,
+    batch_stats: Any,
+    name_map: Dict[str, str],
+    strict: bool = True,
+) -> Tuple[Any, Any, Dict[str, Dict[str, str]]]:
+    """Fill flax BatchNorm params/batch_stats via an explicit name map.
+
+    ``name_map`` maps a Caffe *BatchNorm* layer name (e.g. ``bn_conv1``)
+    to the dotted flax module path of the BatchNorm (the dict holding
+    ``scale``/``bias`` in params and ``mean``/``var`` in batch_stats).
+    The paired Scale layer (BVLC convention: ``scale_conv1`` etc.) is
+    found by look-ahead in file order — the first later layer with 1-2
+    blobs of the same channel count. Returns
+    ``(params, batch_stats, report)``; strict raises on missing layers,
+    missing paths, absent Scale pair, or channel mismatch.
+    """
+    p_flat = _flatten_with_path(params)
+    s_flat = _flatten_with_path(batch_stats)
+    p_leaves = {path: leaf.copy() for path, leaf in p_flat}
+    s_leaves = {path: leaf.copy() for path, leaf in s_flat}
+    p_index = {".".join(p): p for p, _ in p_flat}
+    s_index = {".".join(p): p for p, _ in s_flat}
+    report: Dict[str, Dict[str, str]] = {}
+    problems: List[str] = []
+    names = list(layers)
+
+    for caffe_name, module_path in name_map.items():
+        layer = layers.get(caffe_name)
+        if layer is None:
+            problems.append(f"BN layer {caffe_name!r} not in caffemodel")
+            continue
+        if len(layer["blobs"]) != 3 or layer["blobs"][0].ndim != 1:
+            problems.append(
+                f"{caffe_name!r} does not look like BatchNorm "
+                f"(want 3 1-d blobs, got "
+                f"{[tuple(b.shape) for b in layer['blobs']]})"
+            )
+            continue
+        scale_key = p_index.get(module_path + ".scale")
+        if scale_key is None:
+            problems.append(
+                f"BN target {module_path!r} has no .scale in params"
+            )
+            continue
+        c = layer["blobs"][0].shape[0]
+        if p_leaves[scale_key].shape[0] != c:
+            problems.append(
+                f"{caffe_name!r} channels {c} != model "
+                f"{p_leaves[scale_key].shape[0]} at {module_path!r}"
+            )
+            continue
+        i = names.index(caffe_name)
+        scale_layer = None
+        for j in (i + 1, i + 2):
+            if j < len(names):
+                cand = layers[names[j]]
+                if (
+                    len(cand["blobs"]) in (1, 2)
+                    and cand["blobs"][0].shape == layer["blobs"][0].shape
+                ):
+                    scale_layer = cand
+                    break
+        if scale_layer is None:
+            problems.append(f"{caffe_name!r}: no Scale pair found after it")
+            continue
+        folded = caffemodel.fold_bn_scale(layer["blobs"], scale_layer["blobs"])
+        p_leaves[scale_key] = folded["params"]["scale"]
+        bias_key = scale_key[:-1] + ("bias",)
+        if bias_key in p_leaves:
+            p_leaves[bias_key] = folded["params"]["bias"]
+        for stat in ("mean", "var"):
+            k = s_index.get(module_path + "." + stat)
+            if k is not None:
+                s_leaves[k] = folded["batch_stats"][stat]
+        report[module_path] = {"layer": caffe_name, "via": "name"}
+
+    if strict and problems:
+        raise ValueError(
+            "import_bn_by_name: %d problem(s):\n  %s"
+            % (len(problems), "\n  ".join(problems))
+        )
+    return _rebuild(params, p_leaves), _rebuild(batch_stats, s_leaves), report
+
+
+def format_report(report: Dict[str, Dict[str, str]]) -> str:
+    """Human-readable assignment report (one line per placed param)."""
+    lines = []
+    for path, info in report.items():
+        if isinstance(info, str):  # shape-order report form
+            info = {"layer": info, "via": "shape"}
+        lines.append(f"{path:60s} <- {info['layer']:30s} [{info['via']}]")
+    return "\n".join(lines)
 
 
 def import_bn_by_order(

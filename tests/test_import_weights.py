@@ -95,6 +95,136 @@ class TestImportByShapeOrder:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TwinNet(nn.Module):
+    """conv1(3->8) -> relu -> two IDENTICALLY-SHAPED 8->8 convs -> relu.
+
+    The two 8x8x3x3 kernels are indistinguishable by shape — the case
+    where shape-order import silently mis-seats weights when file order
+    differs from traversal order (a real ResNet-50 is full of these)."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Conv(8, (3, 3), padding="SAME")(x))
+        x = nn.relu(nn.Conv(8, (3, 3), padding="SAME")(x))
+        x = nn.relu(nn.Conv(8, (3, 3), padding="SAME")(x))
+        return x
+
+
+def _twin_reference(x_rgb, w1, b1, w2a, b2a, w2b, b2b):
+    """Caffe-semantics forward: BGR input, OIHW kernels, relu stack."""
+    from jax import lax
+
+    x = jnp.asarray(np.transpose(x_rgb[..., ::-1], (0, 3, 1, 2)))
+
+    def conv(x, w, b):
+        y = lax.conv_general_dilated(
+            x, jnp.asarray(w), (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        return jax.nn.relu(y + jnp.asarray(b)[None, :, None, None])
+
+    y = np.asarray(conv(conv(conv(x, w1, b1), w2a, b2a), w2b, b2b))
+    return np.transpose(y, (0, 2, 3, 1))  # NCHW -> NHWC to match flax
+
+
+class TestImportByName:
+    """VERDICT r2 item 1: the name_map path of the fidelity gate.
+
+    Fixture uses realistic BVLC-style layer names and is deliberately
+    PERMUTED from flax traversal order so shape-order matching
+    mis-assigns while the name map places correctly."""
+
+    def _make(self, rng):
+        w1 = rng.normal(size=(8, 3, 3, 3)).astype(np.float32)
+        b1 = rng.normal(size=(8,)).astype(np.float32)
+        w2a = rng.normal(size=(8, 8, 3, 3)).astype(np.float32)
+        b2a = rng.normal(size=(8,)).astype(np.float32)
+        w2b = rng.normal(size=(8, 8, 3, 3)).astype(np.float32)
+        b2b = rng.normal(size=(8,)).astype(np.float32)
+        # File order permuted: branch2b BEFORE branch2a.
+        raw = encode_net([
+            ("conv1", "Convolution", [w1, b1]),
+            ("res2a_branch2b", "Convolution", [w2b, b2b]),
+            ("res2a_branch2a", "Convolution", [w2a, b2a]),
+        ])
+        layers = caffemodel.parse_caffemodel(raw)
+        model = TwinNet()
+        x = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+        ref = _twin_reference(x, w1, b1, w2a, b2a, w2b, b2b)
+        return layers, model, params, x, ref
+
+    def test_shape_order_misassigns_permuted_file(self, rng):
+        layers, model, params, x, ref = self._make(rng)
+        p_order, _ = import_weights.import_by_shape_order(
+            layers, params, strict=True
+        )
+        got = np.asarray(model.apply({"params": p_order}, jnp.asarray(x)))
+        # File order != traversal order -> the twins land swapped.
+        assert not np.allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_name_map_places_correctly(self, rng):
+        layers, model, params, x, ref = self._make(rng)
+        name_map = {
+            "conv1": "Conv_0",
+            "res2a_branch2a": "Conv_1",
+            "res2a_branch2b": "Conv_2",
+        }
+        p_name, report = import_weights.import_by_name(
+            layers, params, name_map, strict=True
+        )
+        assert all(v["via"] == "name" for v in report.values())
+        assert report["Conv_1.kernel"]["layer"] == "res2a_branch2a"
+        got = np.asarray(model.apply({"params": p_name}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+        # The report is printable.
+        text = import_weights.format_report(report)
+        assert "res2a_branch2a" in text and "[name]" in text
+
+    def test_partial_map_falls_back_to_shape_order(self, rng):
+        layers, model, params, x, ref = self._make(rng)
+        # Map only the ambiguous twins; conv1 (unique shape) via fallback.
+        name_map = {
+            "res2a_branch2a": "Conv_1",
+            "res2a_branch2b": "Conv_2",
+        }
+        p_name, report = import_weights.import_by_name(
+            layers, params, name_map, strict=True
+        )
+        assert report["Conv_0.kernel"]["via"] == "shape"
+        assert report["Conv_0.kernel"]["layer"] == "conv1"
+        got = np.asarray(model.apply({"params": p_name}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_strict_reports_all_problems(self, rng):
+        layers, model, params, x, _ = self._make(rng)
+        name_map = {
+            "no_such_layer": "Conv_0",
+            "res2a_branch2a": "Conv_9",  # no such path
+            "res2a_branch2b": "Conv_0",  # 8x8 kernel vs 3->8 slot
+        }
+        with pytest.raises(ValueError) as e:
+            import_weights.import_by_name(
+                layers, params, name_map, strict=True
+            )
+        msg = str(e.value)
+        assert "no_such_layer" in msg
+        assert "Conv_9" in msg
+        assert "shape" in msg
+        assert "3 problem(s)" in msg
+
+    def test_strict_raises_on_uncovered_params(self, rng):
+        layers, model, params, x, _ = self._make(rng)
+        with pytest.raises(ValueError, match="unmatched"):
+            import_weights.import_by_name(
+                layers,
+                params,
+                {"conv1": "Conv_0"},
+                strict=True,
+                fallback_shape_order=False,
+            )
+
+
 class BNNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -131,3 +261,60 @@ class TestImportBN:
         stats = {path[-1].key: np.asarray(v) for path, v in flat_s}
         np.testing.assert_allclose(stats["mean"], mean, rtol=1e-4)
         np.testing.assert_allclose(stats["var"], var, rtol=1e-4)
+
+    def test_bn_by_name(self, rng):
+        c = 6
+        mean = rng.normal(size=(c,)).astype(np.float32)
+        var = (np.abs(rng.normal(size=(c,))) + 0.1).astype(np.float32)
+        gamma = rng.normal(size=(c,)).astype(np.float32)
+        beta = rng.normal(size=(c,)).astype(np.float32)
+        f = 99.0
+        raw = encode_net([
+            ("conv1", "Convolution", [rng.normal(size=(c, 3, 3, 3)).astype(np.float32)]),
+            ("bn_conv1", "BatchNorm", [mean * f, var * f, np.array([f], np.float32)]),
+            ("scale_conv1", "Scale", [gamma, beta]),
+        ])
+        layers = caffemodel.parse_caffemodel(raw)
+        model = BNNet()
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+        new_p, new_s, report = import_weights.import_bn_by_name(
+            layers,
+            variables["params"],
+            variables["batch_stats"],
+            {"bn_conv1": "BatchNorm_0"},
+            strict=True,
+        )
+        assert report["BatchNorm_0"]["layer"] == "bn_conv1"
+        flat_p = {
+            ".".join(str(k.key) for k in path): np.asarray(v)
+            for path, v in jax.tree_util.tree_flatten_with_path(new_p)[0]
+        }
+        np.testing.assert_allclose(flat_p["BatchNorm_0.scale"], gamma, rtol=1e-5)
+        np.testing.assert_allclose(flat_p["BatchNorm_0.bias"], beta, rtol=1e-5)
+        flat_s = {
+            ".".join(str(k.key) for k in path): np.asarray(v)
+            for path, v in jax.tree_util.tree_flatten_with_path(new_s)[0]
+        }
+        np.testing.assert_allclose(flat_s["BatchNorm_0.mean"], mean, rtol=1e-4)
+        np.testing.assert_allclose(flat_s["BatchNorm_0.var"], var, rtol=1e-4)
+
+    def test_bn_by_name_strict_missing_scale_pair(self, rng):
+        c = 6  # matches BNNet's channel count so only the Scale pair is missing
+        raw = encode_net([
+            ("bn_lonely", "BatchNorm", [
+                rng.normal(size=(c,)).astype(np.float32),
+                np.abs(rng.normal(size=(c,))).astype(np.float32) + 0.1,
+                np.array([1.0], np.float32),
+            ]),
+        ])
+        layers = caffemodel.parse_caffemodel(raw)
+        model = BNNet()
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+        with pytest.raises(ValueError, match="no Scale pair"):
+            import_weights.import_bn_by_name(
+                layers,
+                variables["params"],
+                variables["batch_stats"],
+                {"bn_lonely": "BatchNorm_0"},
+                strict=True,
+            )
