@@ -94,6 +94,18 @@ class ExperimentConfig:
     edge_aware_smoothness: bool = True
     stereo_baseline: float = KITTI_STEREO_BASELINE
 
+    # Static disparity bound (pixels, at full width) for the stereo warp
+    # kernel. 0 = derive from the config at trace time:
+    # margin * nominal_fx(width) * baseline * max inverse depth — see
+    # :func:`stereo_dmax`. Pixels beyond the bound are masked invalid,
+    # so the bound must dominate anything the depth head can produce;
+    # the derived form does by construction (the head bounds inverse
+    # depth at model.max_disp + model.min_disp).
+    stereo_dmax: int = 0
+    # Safety factor over the nominal KITTI fx/baseline (real rigs vary
+    # ~1-2% in fx per campaign; 25% headroom costs one 8-px sublane).
+    stereo_dmax_margin: float = 1.25
+
     # Vertical half-window (rows) of the Pallas general-warp kernel at the
     # finest scale; coarser scales halve it adaptively (ops.frozen_warp).
     # Samples with larger vertical displacement are masked invalid.
@@ -115,6 +127,53 @@ class ExperimentConfig:
     # externally-trained NYUv2 feature weights): a pretrain-feat
     # checkpoint dir whose 'feat' params override whatever init_from set.
     init_feat_from: str | None = None
+
+
+def stereo_dmax(cfg: ExperimentConfig, width: int | None = None) -> int:
+    """Static disparity bound (pixels) for the stereo warp at ``width``.
+
+    VERDICT r2 item 6: the kernel's bound must be config-derived, not a
+    hardcoded 128 — raise the image width or ``model.max_disp`` and a
+    fixed 128 silently masks valid disparities (supervision drops with
+    no warning).
+
+    disparity = fx_scaled * baseline * inverse_depth, and the depth head
+    bounds inverse depth at ``max_disp + min_disp``, so
+
+        dmax = margin * (KITTI_FX_608/608 * width) * baseline
+                      * (max_disp + min_disp)
+
+    rounded UP to a multiple of 8 (sublane). ``width`` defaults to the
+    config's full width; pyramid scales pass their own width (the bound
+    scales linearly with fx). An explicit ``cfg.stereo_dmax`` overrides
+    the derivation (interpreted at full width, scaled per-scale).
+
+    Raises ``ValueError`` — errors, not masks — when the bound exceeds
+    the kernel's reach (``dmax + 2 > width``: the scatter-free backward
+    caps its shift count at the padded width, so larger true disparities
+    would silently drop gradient taps).
+    """
+    import math
+
+    w = width if width is not None else cfg.model.width
+    if cfg.stereo_dmax:
+        d = cfg.stereo_dmax * w / cfg.model.width
+    else:
+        fx = (KITTI_FX_608 / 608.0) * w
+        d = (
+            cfg.stereo_dmax_margin
+            * fx
+            * cfg.stereo_baseline
+            * (cfg.model.max_disp + cfg.model.min_disp)
+        )
+    dmax = max(8, int(math.ceil(d / 8.0)) * 8)
+    if dmax + 2 > w:
+        raise ValueError(
+            f"stereo dmax {dmax} exceeds the kernel's reach at width {w} "
+            f"(need dmax + 2 <= width). Lower model.max_disp / "
+            f"stereo_baseline or raise the image width."
+        )
+    return dmax
 
 
 def to_dict(cfg: ExperimentConfig) -> dict:

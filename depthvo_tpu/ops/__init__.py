@@ -79,7 +79,8 @@ def frozen_warp(src, depth, T, K, use_pallas: bool | None = None,
     return _ref_warp.inverse_warp(jax.lax.stop_gradient(src), depth, T, K)
 
 
-def stereo_warp(src, depth, fx_baseline, use_pallas: bool | None = None):
+def stereo_warp(src, depth, fx_baseline, use_pallas: bool | None = None,
+                dmax: int | None = None):
     """Rectified-stereo inverse warp (sample ``src`` at x - fx*b/depth).
 
     Args:
@@ -88,6 +89,11 @@ def stereo_warp(src, depth, fx_baseline, use_pallas: bool | None = None):
       fx_baseline: scalar or (B,) fx * baseline (pixels * meters / meter).
       use_pallas: force the kernel (True) / the jnp path (False) / pick
         by backend (None).
+      dmax: static disparity bound in pixels — pixels beyond it are
+        masked invalid on BOTH paths (backend-identical semantics).
+        Derive from the config with ``configs.base.stereo_dmax`` (the
+        loss graph does); ``None`` keeps the kernel's default bound and
+        leaves the jnp path unbounded.
 
     Returns (warped, valid).
     """
@@ -96,7 +102,9 @@ def stereo_warp(src, depth, fx_baseline, use_pallas: bool | None = None):
     from depthvo_tpu.ops import warp_pallas
 
     if use_pallas and warp_pallas.supported(src):
-        return warp_pallas.stereo_warp(src, depth, fx_baseline)
+        if dmax is None:
+            return warp_pallas.stereo_warp(src, depth, fx_baseline)
+        return warp_pallas.stereo_warp(src, depth, fx_baseline, dmax=dmax)
     # jnp fallback: same math through the reference bilinear sampler.
     B, H, W, C = src.shape
     if depth.ndim == 4:
@@ -111,4 +119,7 @@ def stereo_warp(src, depth, fx_baseline, use_pallas: bool | None = None):
     warped, in_bounds = _ref_warp.bilinear_sample(src, coords)
     # bilinear_sample's footprint check already excludes the last row
     # (v0+1 == H), matching the kernel path's mask semantics.
-    return warped, in_bounds & (depth > 0)
+    valid = in_bounds & (depth > 0)
+    if dmax is not None:
+        valid = valid & (disparity >= 0) & (disparity <= dmax)
+    return warped, valid

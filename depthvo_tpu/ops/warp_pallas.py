@@ -575,9 +575,16 @@ def stereo_warp(
     (matching T_lr = [I | (-b, 0, 0)] in the loss graph).
 
     ``dmax``: static disparity bound in pixels (fx*b * the network's max
-    inverse depth; 128 comfortably covers KITTI at 608 width). Pixels
-    with larger disparity are masked invalid, and their gradient taps are
-    dropped (the losses zero their cotangent anyway).
+    inverse depth). Pixels with larger disparity are masked invalid, and
+    their gradient taps are dropped (the losses zero their cotangent
+    anyway) — so the bound must dominate the head's reachable disparity.
+    The loss graph derives it from the config per scale
+    (``configs.base.stereo_dmax``, with an exceeds-reach error guard);
+    the default 128 is only a safe standalone-call value for KITTI at
+    608 width. The derived bound is a correctness feature: backward
+    shift count scales with dmax, but at KITTI scale the measured cost
+    difference vs the blanket 128 is within tunnel timing noise
+    (interleaved sweep over dmax 64..144: mins all 3.4-5.5 ms).
 
     Returns (warped, valid) matching
     ``geometry.warp.inverse_warp(src, depth, T_lr, K)`` on valid pixels.

@@ -101,3 +101,99 @@ class TestCheckpointConfigPlumbing:
             jax.numpy.zeros((1, cfg.model.height, cfg.model.width, 3))
         )
         assert depth.shape == (1, cfg.model.height, cfg.model.width)
+
+
+class TestStereoDmax:
+    """VERDICT r2 item 6: config-derived disparity bound + reach guard."""
+
+    def test_derived_bound_dominates_head_range(self):
+        from depthvo_tpu.configs import base
+
+        cfg = base.stereo()  # 608x160 KITTI config
+        d = base.stereo_dmax(cfg)
+        # Head's reachable disparity: fx * b * (max_disp + min_disp).
+        reachable = (
+            base.KITTI_FX_608 * cfg.stereo_baseline
+            * (cfg.model.max_disp + cfg.model.min_disp)
+        )
+        assert d >= reachable
+        assert d % 8 == 0
+        assert d <= 128  # tighter than the old hardcoded bound at KITTI
+
+    def test_scales_with_width(self):
+        from depthvo_tpu.configs import base
+
+        cfg = base.stereo()
+        d_full = base.stereo_dmax(cfg, 608)
+        d_half = base.stereo_dmax(cfg, 304)
+        assert d_half <= d_full
+        assert d_half >= d_full // 2 - 8
+
+    def test_wide_image_exceeds_old_hardcoded_bound(self):
+        """At 4x width the derived bound exceeds 128 — the case where the
+        old constant silently masked valid disparities."""
+        import dataclasses
+
+        from depthvo_tpu.configs import base
+
+        cfg = base.stereo()
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, width=2432)
+        )
+        d = base.stereo_dmax(cfg)
+        assert d > 128
+
+    def test_reach_guard_raises(self):
+        """A bound beyond the kernel's shift reach ERRORS instead of
+        silently masking (VERDICT: 'errors, not masks')."""
+        import dataclasses
+
+        import pytest
+
+        from depthvo_tpu.configs import base
+
+        cfg = base.stereo()
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, max_disp=5.0)
+        )
+        with pytest.raises(ValueError, match="reach"):
+            base.stereo_dmax(cfg)
+
+    def test_explicit_override(self):
+        from depthvo_tpu.configs import base
+
+        cfg = base.stereo(stereo_dmax=96)
+        assert base.stereo_dmax(cfg) == 96
+        assert base.stereo_dmax(cfg, 304) == 48
+
+    def test_loss_masks_beyond_128_with_derived_bound(self):
+        """End-to-end mask semantics on the jnp path: at a width where
+        disparity legitimately exceeds 128, the derived bound keeps those
+        pixels valid while the old hardcoded 128 would drop them."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from depthvo_tpu import ops
+        from depthvo_tpu.configs import base
+
+        W = 2432
+        fxb = np.float32(base.KITTI_FX_608 / 608.0 * W * 0.54)
+        depth_val = fxb / 160.0  # true disparity 160 px (> 128)
+        src = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 8, W, 1)), jnp.float32
+        )
+        depth = jnp.full((1, 8, W), depth_val, jnp.float32)
+        cfg = base.stereo()
+        cfg = __import__("dataclasses").replace(
+            cfg, model=__import__("dataclasses").replace(cfg.model, width=W)
+        )
+        dmax = base.stereo_dmax(cfg)
+        _, valid_derived = ops.stereo_warp(
+            src, depth, fxb, use_pallas=False, dmax=dmax
+        )
+        _, valid_128 = ops.stereo_warp(
+            src, depth, fxb, use_pallas=False, dmax=128
+        )
+        interior = np.asarray(valid_derived)[:, :-1, 200:]  # in-bounds cols
+        assert interior.all()
+        assert not np.asarray(valid_128)[:, :-1, 200:].any()

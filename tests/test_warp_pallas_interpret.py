@@ -82,6 +82,38 @@ class TestStereoKernelInterpreted:
         scale = float(jnp.abs(g_f).max())
         assert float(jnp.abs(g_k - g_f).max()) < 1e-5 * max(scale, 1.0)
 
+    def test_nondefault_dmax_matches_fallback(self, rng):
+        """Kernel and jnp fallback agree at a config-derived (non-128)
+        dmax: same mask (including disparity > dmax dropped), same
+        values, same d_depth (VERDICT r2 item 6)."""
+        dmax = 16
+        src, _ = _scene(rng)
+        # Depth spanning disparities ~[4, 30]: some beyond the bound.
+        disparity = jnp.asarray(
+            rng.uniform(4.0, 30.0, (B, H, W)), jnp.float32
+        )
+        depth = FXB / disparity
+        w_k, v_k = warp_pallas.stereo_warp(src, depth, FXB, dmax=dmax)
+        w_f, v_f = stereo_warp(src, depth, FXB, use_pallas=False, dmax=dmax)
+        v_k, v_f = np.asarray(v_k), np.asarray(v_f)
+        assert (v_k == v_f).all()
+        # The bound really bites: some pixels masked, some kept.
+        assert v_k.any() and not v_k.all()
+        assert np.abs(np.asarray(w_k) - np.asarray(w_f))[v_k].max() < 1e-6
+
+        def loss(d, kernel):
+            w, _ = (
+                warp_pallas.stereo_warp(src, d, FXB, dmax=dmax)
+                if kernel
+                else stereo_warp(src, d, FXB, use_pallas=False, dmax=dmax)
+            )
+            return jnp.sum(jnp.where(jnp.asarray(v_k)[..., None], w, 0.0) ** 2)
+
+        g_k = jax.grad(lambda d: loss(d, True))(depth)
+        g_f = jax.grad(lambda d: loss(d, False))(depth)
+        scale = float(jnp.abs(g_f).max())
+        assert float(jnp.abs(g_k - g_f).max()) < 1e-5 * max(scale, 1.0)
+
 
 GH = 24  # general-kernel test height: must fit the pad_v=8 window (2*8+8)
 
