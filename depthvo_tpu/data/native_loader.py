@@ -2,9 +2,11 @@
 
 Reference parity (SURVEY.md §2b(ii)): Caffe's prefetching data pipeline is
 C++ (base_data_layer/internal_thread/data_transformer); so is ours
-(native/dataloader.cpp): PNG decode, bilinear resize, [-1,1] float32
-normalize, and a multi-threaded prefetch ring — Python only moves
-ready float32 buffers to the device.
+(native/dataloader.cpp): PNG decode, bilinear resize, and a
+multi-threaded prefetch ring — Python only moves ready buffers to the
+device. Two output modes: [-1,1] float32 (normalized on host) and raw
+uint8 (4x smaller host->device uplink; normalized on-device) — the
+production path composes C++ decode WITH the small uplink.
 
 The shared library builds on demand with make (g++, zlib); if the
 toolchain is unavailable the callers fall back to the PIL path in
@@ -60,6 +62,13 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.dvf_load_resized_u8.restype = ctypes.c_int
+    lib.dvf_load_resized_u8.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.dvf_loader_create.restype = ctypes.c_void_p
     lib.dvf_loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p),
@@ -71,11 +80,18 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_int64,
         ctypes.c_int,
         ctypes.c_int,
+        ctypes.c_int,
     ]
     lib.dvf_loader_next.restype = ctypes.c_int
     lib.dvf_loader_next.argtypes = [
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.dvf_loader_next_u8.restype = ctypes.c_int
+    lib.dvf_loader_next_u8.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int64),
     ]
     lib.dvf_loader_destroy.restype = None
@@ -124,12 +140,28 @@ def load_resized(path: str, height: int, width: int) -> np.ndarray:
     return out
 
 
+def load_resized_u8(path: str, height: int, width: int) -> np.ndarray:
+    """Decode + resize one image -> (H, W, 3) uint8 (no normalization —
+    4x fewer host->device bytes; normalization runs on-device)."""
+    lib = load_library()
+    out = np.empty((height, width, 3), np.uint8)
+    rc = lib.dvf_load_resized_u8(
+        path.encode(), height, width,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise ValueError(f"native load failed ({rc}) for {path}")
+    return out
+
+
 class NativeBatchLoader:
     """Threaded prefetching batch loader over a list of image paths.
 
-    Yields (batch_images, batch_indices): images (B, H, W, 3) float32 in
-    [-1, 1]; indices say which source sample each row came from (callers
-    use them to join stereo/temporal companions and per-sample intrinsics).
+    Yields (batch_images, batch_indices): images (B, H, W, 3) — float32
+    in [-1, 1] by default, raw uint8 with ``u8=True`` (C++ decode AND the
+    4x smaller uplink; normalization runs on-device). Indices say which
+    source sample each row came from (callers use them to join
+    stereo/temporal companions and per-sample intrinsics/baselines).
     """
 
     def __init__(
@@ -142,28 +174,42 @@ class NativeBatchLoader:
         seed: int = 0,
         shuffle: bool = True,
         queue_cap: int = 4,
+        u8: bool = False,
     ):
         self._lib = load_library()
         self._paths = [p.encode() for p in paths]
         arr = (ctypes.c_char_p * len(self._paths))(*self._paths)
         self._handle = self._lib.dvf_loader_create(
             arr, len(self._paths), batch_size, height, width,
-            num_threads, seed, int(shuffle), queue_cap,
+            num_threads, seed, int(shuffle), queue_cap, int(u8),
         )
         if not self._handle:
             raise RuntimeError("dvf_loader_create failed")
         self.batch_size = batch_size
         self.height = height
         self.width = width
+        self.u8 = u8
 
     def next(self):
-        out = np.empty((self.batch_size, self.height, self.width, 3), np.float32)
         idx = np.empty((self.batch_size,), np.int64)
-        rc = self._lib.dvf_loader_next(
-            self._handle,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        )
+        if self.u8:
+            out = np.empty(
+                (self.batch_size, self.height, self.width, 3), np.uint8
+            )
+            rc = self._lib.dvf_loader_next_u8(
+                self._handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+        else:
+            out = np.empty(
+                (self.batch_size, self.height, self.width, 3), np.float32
+            )
+            rc = self._lib.dvf_loader_next(
+                self._handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
         if rc != 0:
             raise ValueError(f"native loader batch had decode error {rc}")
         return out, idx

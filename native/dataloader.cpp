@@ -192,7 +192,15 @@ ResampleAxis make_axis(int in_size, int out_size) {
   return ax;
 }
 
-void resize_normalize(const Image& img, int out_h, int out_w, float* out) {
+// Resize to (out_h, out_w, 3). Exactly one of out_f32 / out_u8 is
+// non-null: f32 output is normalized to [-1, 1] (the classic training
+// contract); u8 output rounds to the uint8 grid with NO normalization —
+// 4x fewer bytes for the host->device uplink, normalization happens
+// on-device (train/loop.py::compute_losses, api.DepthVO). The u8
+// rounding matches the Python load_image_u8 contract: round(acc),
+// clipped — at most half a 1/255 grid step from the f32 path.
+void resize_to(const Image& img, int out_h, int out_w, float* out_f32,
+               uint8_t* out_u8) {
   const ResampleAxis ax_x = make_axis(img.w, out_w);
   const ResampleAxis ax_y = make_axis(img.h, out_h);
   // Horizontal pass: (h, w, c) -> (h, out_w, 3).
@@ -236,33 +244,48 @@ void resize_normalize(const Image& img, int out_h, int out_w, float* out) {
         acc[1] += w[k] * px[1];
         acc[2] += w[k] * px[2];
       }
-      float* dst = out + (size_t(oy) * out_w + ox) * 3;
-      dst[0] = acc[0] / 127.5f - 1.0f;
-      dst[1] = acc[1] / 127.5f - 1.0f;
-      dst[2] = acc[2] / 127.5f - 1.0f;
+      const size_t o = (size_t(oy) * out_w + ox) * 3;
+      if (out_f32) {
+        out_f32[o + 0] = acc[0] / 127.5f - 1.0f;
+        out_f32[o + 1] = acc[1] / 127.5f - 1.0f;
+        out_f32[o + 2] = acc[2] / 127.5f - 1.0f;
+      } else {
+        for (int ch = 0; ch < 3; ++ch) {
+          const float r = acc[ch] + 0.5f;  // round-half-up, clip to u8
+          out_u8[o + ch] =
+              uint8_t(r <= 0.0f ? 0 : (r >= 255.0f ? 255 : int(r)));
+        }
+      }
     }
   }
+}
+
+void resize_normalize(const Image& img, int out_h, int out_w, float* out) {
+  resize_to(img, out_h, out_w, out, nullptr);
 }
 
 // ----------------------------------------------------------- prefetch ----
 
 struct Batch {
-  std::vector<float> data;     // batch * h * w * 3
-  std::vector<int64_t> index;  // source sample indices
-  int error = 0;               // first decode error in the batch, 0 if none
+  std::vector<float> data;       // batch * h * w * 3 (f32 mode)
+  std::vector<uint8_t> data_u8;  // batch * h * w * 3 (u8 mode)
+  std::vector<int64_t> index;    // source sample indices
+  int error = 0;                 // first decode error in the batch, 0 if none
 };
 
 class Loader {
  public:
   Loader(std::vector<std::string> paths, int batch, int out_h, int out_w,
-         int n_threads, uint64_t seed, bool shuffle, int queue_cap)
+         int n_threads, uint64_t seed, bool shuffle, int queue_cap,
+         bool emit_u8)
       : paths_(std::move(paths)),
         batch_(batch),
         out_h_(out_h),
         out_w_(out_w),
         shuffle_(shuffle),
         rng_(seed),
-        queue_cap_(queue_cap) {
+        queue_cap_(queue_cap),
+        emit_u8_(emit_u8) {
     order_.resize(paths_.size());
     for (size_t i = 0; i < order_.size(); ++i) order_[i] = i;
     if (shuffle_) std::shuffle(order_.begin(), order_.end(), rng_);
@@ -281,17 +304,30 @@ class Loader {
     for (auto& t : workers_) t.join();
   }
 
-  // Blocking: copy the next ready batch into out. Returns 0, or a decode
-  // error code from the first failing image in the batch.
-  int Next(float* out, int64_t* indices) {
+  // Blocking: copy the next ready batch into out (f32 or u8 matching the
+  // loader's mode). Returns 0, a decode error code from the first failing
+  // image, -1 on shutdown, or -3 on a mode mismatch. Batches are served
+  // strictly in claim (ticket) order regardless of which worker thread
+  // finishes first — the consumer-visible stream is deterministic for a
+  // given seed, like Caffe's prefetch queue.
+  int Next(float* out_f32, uint8_t* out_u8, int64_t* indices) {
+    if ((out_f32 != nullptr) == emit_u8_) return -3;
     std::unique_lock<std::mutex> lock(mu_);
-    cv_ready_.wait(lock, [this] { return !ready_.empty() || stop_; });
-    if (stop_ && ready_.empty()) return -1;
-    Batch b = std::move(ready_.front());
-    ready_.pop_front();
+    cv_ready_.wait(lock, [this] {
+      return stop_ || (!ready_.empty() && ready_.front().first == serve_);
+    });
+    if (stop_ && (ready_.empty() || ready_.front().first != serve_)) return -1;
+    Batch b = std::move(ready_.front().second);
+    std::pop_heap(ready_.begin(), ready_.end(), TicketGreater());
+    ready_.pop_back();
+    ++serve_;
     lock.unlock();
     cv_space_.notify_one();
-    std::memcpy(out, b.data.data(), b.data.size() * sizeof(float));
+    if (emit_u8_) {
+      std::memcpy(out_u8, b.data_u8.data(), b.data_u8.size());
+    } else {
+      std::memcpy(out_f32, b.data.data(), b.data.size() * sizeof(float));
+    }
     if (indices) {
       std::memcpy(indices, b.index.data(), b.index.size() * sizeof(int64_t));
     }
@@ -299,9 +335,18 @@ class Loader {
   }
 
  private:
-  // Claim the next `batch_` sample indices (epoch-shuffled, wrapping).
-  std::vector<size_t> Claim() {
+  struct TicketGreater {
+    bool operator()(const std::pair<uint64_t, Batch>& a,
+                    const std::pair<uint64_t, Batch>& b) const {
+      return a.first > b.first;  // min-heap on ticket
+    }
+  };
+
+  // Claim the next `batch_` sample indices (epoch-shuffled, wrapping)
+  // plus this batch's serve-order ticket.
+  std::vector<size_t> Claim(uint64_t* ticket) {
     std::lock_guard<std::mutex> lock(order_mu_);
+    *ticket = next_ticket_++;
     std::vector<size_t> out;
     out.reserve(batch_);
     for (int i = 0; i < batch_; ++i) {
@@ -325,28 +370,44 @@ class Loader {
         if (stop_) return;
         ++in_flight_;
       }
-      std::vector<size_t> idx = Claim();
+      uint64_t ticket = 0;
+      std::vector<size_t> idx = Claim(&ticket);
       Batch b;
-      b.data.resize(size_t(batch_) * frame_elems);
+      if (emit_u8_) {
+        b.data_u8.resize(size_t(batch_) * frame_elems);
+      } else {
+        b.data.resize(size_t(batch_) * frame_elems);
+      }
       b.index.assign(idx.begin(), idx.end());
       for (int i = 0; i < batch_; ++i) {
         Image img;
         const int rc = decode_png(paths_[idx[i]].c_str(), &img);
         if (rc != 0) {
           if (b.error == 0) b.error = rc;
-          std::memset(b.data.data() + size_t(i) * frame_elems, 0,
-                      frame_elems * sizeof(float));
+          if (emit_u8_) {
+            std::memset(b.data_u8.data() + size_t(i) * frame_elems, 0,
+                        frame_elems);
+          } else {
+            std::memset(b.data.data() + size_t(i) * frame_elems, 0,
+                        frame_elems * sizeof(float));
+          }
           continue;
         }
-        resize_normalize(img, out_h_, out_w_,
-                         b.data.data() + size_t(i) * frame_elems);
+        if (emit_u8_) {
+          resize_to(img, out_h_, out_w_, nullptr,
+                    b.data_u8.data() + size_t(i) * frame_elems);
+        } else {
+          resize_to(img, out_h_, out_w_,
+                    b.data.data() + size_t(i) * frame_elems, nullptr);
+        }
       }
       {
         std::lock_guard<std::mutex> lock(mu_);
         --in_flight_;
-        ready_.push_back(std::move(b));
+        ready_.emplace_back(ticket, std::move(b));
+        std::push_heap(ready_.begin(), ready_.end(), TicketGreater());
       }
-      cv_ready_.notify_one();
+      cv_ready_.notify_all();
     }
   }
 
@@ -359,10 +420,15 @@ class Loader {
   std::mutex order_mu_;
   std::vector<size_t> order_;
   size_t cursor_ = 0;
+  uint64_t next_ticket_ = 0;
+
+  const bool emit_u8_;
 
   std::mutex mu_;
   std::condition_variable cv_ready_, cv_space_;
-  std::deque<Batch> ready_;
+  // Min-heap on ticket: Next() serves batches in claim order.
+  std::vector<std::pair<uint64_t, Batch>> ready_;
+  uint64_t serve_ = 0;
   size_t in_flight_ = 0;
   bool stop_ = false;
 
@@ -397,18 +463,32 @@ int dvf_load_resized(const char* path, int out_h, int out_w, float* out) {
   return 0;
 }
 
+int dvf_load_resized_u8(const char* path, int out_h, int out_w,
+                        uint8_t* out) {
+  Image img;
+  const int rc = decode_png(path, &img);
+  if (rc != 0) return rc;
+  resize_to(img, out_h, out_w, nullptr, out);
+  return 0;
+}
+
 void* dvf_loader_create(const char** paths, int64_t n_paths, int batch,
                         int out_h, int out_w, int n_threads, int64_t seed,
-                        int shuffle, int queue_cap) {
+                        int shuffle, int queue_cap, int emit_u8) {
   if (n_paths <= 0 || batch <= 0) return nullptr;
   std::vector<std::string> p(paths, paths + n_paths);
   return new Loader(std::move(p), batch, out_h, out_w,
                     n_threads > 0 ? n_threads : 2, uint64_t(seed),
-                    shuffle != 0, queue_cap > 0 ? queue_cap : 4);
+                    shuffle != 0, queue_cap > 0 ? queue_cap : 4,
+                    emit_u8 != 0);
 }
 
 int dvf_loader_next(void* handle, float* out, int64_t* indices) {
-  return static_cast<Loader*>(handle)->Next(out, indices);
+  return static_cast<Loader*>(handle)->Next(out, nullptr, indices);
+}
+
+int dvf_loader_next_u8(void* handle, uint8_t* out, int64_t* indices) {
+  return static_cast<Loader*>(handle)->Next(nullptr, out, indices);
 }
 
 void dvf_loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }
