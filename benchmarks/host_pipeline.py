@@ -65,22 +65,37 @@ def main() -> int:
     with tempfile.TemporaryDirectory() as root:
         drive = _make_fixture(root)
         ds = KittiRawStereo(root, [drive], height=160, width=608)
+        ds_u8 = KittiRawStereo(root, [drive], height=160, width=608, u8=True)
 
         pool_fps = _time_pipeline(
             ds.iterator(batch_size, native_ring=False), batches, batch_size
         )
-        ring_fps = None
+        # Production contract: uint8 batches (4x smaller uplink), both
+        # host implementations.
+        pool_u8_fps = _time_pipeline(
+            ds_u8.iterator(batch_size, native_ring=False), batches, batch_size
+        )
+        ring_fps = ring_u8_fps = None
         if native_loader.available():
             ring_fps = _time_pipeline(
                 ds.iterator(batch_size, native_ring=True), batches, batch_size
             )
+            ring_u8_fps = _time_pipeline(
+                ds_u8.iterator(batch_size, native_ring=True),
+                batches,
+                batch_size,
+            )
     out = {
         "metric": "host_pipeline_frames_per_sec_1242x375_to_608x160",
-        "value": round(ring_fps or pool_fps, 1),
+        "value": round(ring_u8_fps or ring_fps or pool_u8_fps, 1),
         "unit": "frames/s",
         "detail": {
             "thread_pool_fps": round(pool_fps, 1),
+            "thread_pool_u8_fps": round(pool_u8_fps, 1),
             "native_ring_fps": round(ring_fps, 1) if ring_fps else None,
+            "native_ring_u8_fps": (
+                round(ring_u8_fps, 1) if ring_u8_fps else None
+            ),
             "ring_speedup": round(ring_fps / pool_fps, 2) if ring_fps else None,
             "batch_size": batch_size,
         },

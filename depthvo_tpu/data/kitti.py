@@ -85,12 +85,10 @@ def load_image_u8(path: str, height: int, width: int) -> np.ndarray:
     native = _native()
     if native and path.lower().endswith(".png"):
         try:
-            arr = native.load_resized(path, height, width)
-            # Clip before the cast: a value even half a step outside
-            # [-1, 1] would otherwise wrap (256 -> 0) in uint8.
-            return np.clip(np.round((arr + 1.0) * 127.5), 0, 255).astype(
-                np.uint8
-            )
+            # Native u8 output: rounds the float resample to the uint8
+            # grid in C++ (round-half-up like PIL; np.round's half-even
+            # can differ by one step on exact halves).
+            return native.load_resized_u8(path, height, width)
         except ValueError:
             pass
     if Image is None:  # pragma: no cover
@@ -192,7 +190,7 @@ class KittiRawStereo:
         # u8=True: batches carry raw uint8 frames (4x fewer host->device
         # bytes; the train step normalizes on-device — train/loop.py).
         self.u8 = u8
-        self.samples: List[Tuple[str, str, str, np.ndarray]] = []
+        self.samples: List[Tuple[str, str, str, np.ndarray, float]] = []
         for drive in drives:
             date = drive.split("_drive_")[0]
             ddir = os.path.join(root, date, drive)
@@ -202,6 +200,16 @@ class KittiRawStereo:
                 continue
             calib = read_raw_calib(os.path.join(root, date, "calib_cam_to_cam.txt"))
             P = calib["P_rect_02"].reshape(3, 4)
+            # Per-drive stereo baseline from the rectified projections:
+            # P[0,3] = -fx * t_x relative to cam0, so the cam2->cam3
+            # baseline is (P2[0,3] - P3[0,3]) / fx. Real KITTI rigs vary
+            # ~0.53-0.54 m per campaign; falling back to the nominal
+            # 0.54 m only when the calib lacks P_rect_03.
+            if "P_rect_03" in calib and calib["P_rect_03"].size == 12:
+                P3 = calib["P_rect_03"].reshape(3, 4)
+                baseline = float((P[0, 3] - P3[0, 3]) / P[0, 0])
+            else:
+                baseline = 0.54
             frames = sorted(os.listdir(left_dir))
             # Per-drive native resolution: calib's rectified size if
             # recorded, else the first frame's header (varies by date).
@@ -221,6 +229,7 @@ class KittiRawStereo:
                         os.path.join(right_dir, a),
                         os.path.join(left_dir, b),
                         K,
+                        baseline,
                     )
                 )
 
@@ -228,7 +237,7 @@ class KittiRawStereo:
         return len(self.samples)
 
     def get(self, idx: int) -> Dict[str, np.ndarray]:
-        lt, rt, ls, K = self.samples[idx]
+        lt, rt, ls, K, baseline = self.samples[idx]
         h, w = self.height, self.width
         load = load_image_u8 if self.u8 else load_image
         return {
@@ -236,6 +245,7 @@ class KittiRawStereo:
             "image_r": load(rt, h, w),
             "image_s": load(ls, h, w),
             "K": K,
+            "baseline": np.float32(baseline),
         }
 
     def iterator(
@@ -252,9 +262,11 @@ class KittiRawStereo:
         data_transformer, SURVEY.md §2b(ii)):
 
         * ``native_ring=True`` — the C++ prefetch ring
-          (native/dataloader.cpp): decode+resize+normalize AND batch
-          assembly run on C++ threads; Python only copies ready float32
-          buffers (throughput numbers: benchmarks/host_pipeline.py).
+          (native/dataloader.cpp): decode+resize AND batch assembly run
+          on C++ threads; Python only copies ready buffers (throughput
+          numbers: benchmarks/host_pipeline.py). Composes with ``u8``
+          batches — C++ decode plus the 4x smaller uplink is the
+          production configuration.
         * default — a Python ThreadPoolExecutor calling ``self.get``
           (native per-image decode when available, PIL otherwise).
 
@@ -262,21 +274,8 @@ class KittiRawStereo:
         builds and all samples are PNGs.
         """
         if native_ring is None:
-            # The C++ ring emits normalized float32 batches; with u8
-            # batches requested, default to the per-image path (native
-            # decode still used inside load_image_u8).
-            native_ring = (
-                not self.u8
-                and bool(_native())
-                and all(
-                    p.lower().endswith(".png")
-                    for p, _, _, _ in self.samples[:8]
-                )
-            )
-        if native_ring and self.u8:
-            raise ValueError(
-                "native_ring=True emits float32 batches; construct the "
-                "dataset with u8=False (or pass native_ring=False)"
+            native_ring = bool(_native()) and all(
+                s[0].lower().endswith(".png") for s in self.samples[:8]
             )
         if native_ring:
             yield from self._native_ring_iterator(batch_size, seed, shuffle)
@@ -316,12 +315,15 @@ class KittiRawStereo:
         )
         paths: List[str] = []
         Ks: List[np.ndarray] = []
+        baselines: List[float] = []
         for i in order:
-            lt, rt, ls, K = self.samples[int(i)]
+            lt, rt, ls, K, baseline = self.samples[int(i)]
             paths.extend((lt, rt, ls))
             Ks.append(K)
+            baselines.append(baseline)
         ring = native_loader.NativeBatchLoader(
-            paths, 3 * batch_size, self.height, self.width, shuffle=False
+            paths, 3 * batch_size, self.height, self.width, shuffle=False,
+            u8=self.u8,
         )
         try:
             while True:
@@ -339,6 +341,9 @@ class KittiRawStereo:
                     "image_r": imgs[1::3],
                     "image_s": imgs[2::3],
                     "K": np.stack([Ks[int(s)] for s in sample_rows]),
+                    "baseline": np.array(
+                        [baselines[int(s)] for s in sample_rows], np.float32
+                    ),
                 }
         finally:
             ring.close()
@@ -348,16 +353,20 @@ def write_train_list(dataset: "KittiRawStereo", path: str, root: str) -> int:
     """Emit a train-list file — the reference's data-prep output
     (SURVEY.md §3.4: image-list files consumed by the data layers).
 
-    Line format: ``left right next_left fx fy cx cy`` with paths relative
-    to ``root`` and intrinsics pre-scaled to the dataset's resolution.
+    Line format (v2): ``left right next_left fx fy cx cy baseline`` with
+    paths relative to ``root``, intrinsics pre-scaled to the dataset's
+    resolution, and the per-sample stereo baseline in meters (from the
+    drive/sequence calib). :func:`load_train_list` also reads the v1
+    7-column form (no baseline column) for back-compat.
     """
     n = 0
     with open(path, "w") as f:
-        for lt, rt, ls, K in dataset.samples:
+        for lt, rt, ls, K, baseline in dataset.samples:
             rel = lambda p: os.path.relpath(p, root)
             f.write(
                 f"{rel(lt)} {rel(rt)} {rel(ls)} "
-                f"{K[0,0]:.6f} {K[1,1]:.6f} {K[0,2]:.6f} {K[1,2]:.6f}\n"
+                f"{K[0,0]:.6f} {K[1,1]:.6f} {K[0,2]:.6f} {K[1,2]:.6f} "
+                f"{baseline:.6f}\n"
             )
             n += 1
     return n
@@ -365,7 +374,9 @@ def write_train_list(dataset: "KittiRawStereo", path: str, root: str) -> int:
 
 def load_train_list(root: str, list_path: str, height: int = 160, width: int = 608, u8: bool = False) -> "KittiRawStereo":
     """Build a KittiRawStereo from a prepared train-list file (the
-    counterpart of :func:`write_train_list`)."""
+    counterpart of :func:`write_train_list`). Reads both the v2 8-column
+    format (with a baseline column) and the v1 7-column one, where the
+    baseline falls back to the KITTI nominal 0.54 m."""
     ds = KittiRawStereo.__new__(KittiRawStereo)
     ds.root = root
     ds.height, ds.width = height, width
@@ -374,14 +385,15 @@ def load_train_list(root: str, list_path: str, height: int = 160, width: int = 6
     with open(list_path) as f:
         for line in f:
             parts = line.split()
-            if len(parts) != 7:
+            if len(parts) not in (7, 8):
                 continue
             lt, rt, ls = (os.path.join(root, p) for p in parts[:3])
-            fx, fy, cx, cy = (float(x) for x in parts[3:])
+            fx, fy, cx, cy = (float(x) for x in parts[3:7])
+            baseline = float(parts[7]) if len(parts) == 8 else 0.54
             K = np.array(
                 [[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32
             )
-            ds.samples.append((lt, rt, ls, K))
+            ds.samples.append((lt, rt, ls, K, baseline))
     return ds
 
 
@@ -393,11 +405,13 @@ class KittiOdomStereo(KittiRawStereo):
     tree layout differs from raw: ``sequences/<seq>/image_2`` (left) and
     ``image_3`` (right), calib in ``calib.txt`` P2/P3 rows. Produces the
     same batch contract as :class:`KittiRawStereo` (image_t/image_r/
-    image_s/K), so training and `prep` work unchanged.
+    image_s/K/baseline), so training and `prep` work unchanged.
 
-    The stereo baseline comes from the calib itself: P3's -fx*baseline
-    x-offset relative to P2 (KITTI odometry rigs are ~0.54 m but vary
-    slightly per sequence).
+    The stereo baseline comes from the calib itself — the x-offsets of
+    the rectified projections, b = (P2[0,3] - P3[0,3]) / fx (KITTI
+    odometry rigs are ~0.54 m but vary per sequence) — and rides the
+    batch as the per-sample ``baseline`` field consumed by
+    ``train.loop.compute_losses``.
     """
 
     def __init__(
@@ -412,7 +426,7 @@ class KittiOdomStereo(KittiRawStereo):
         self.root = root
         self.height, self.width = height, width
         self.u8 = u8
-        self.samples: List[Tuple[str, str, str, np.ndarray]] = []
+        self.samples: List[Tuple[str, str, str, np.ndarray, float]] = []
         self.baselines: Dict[str, float] = {}
         for seq in sequences:
             seq_dir = os.path.join(root, "sequences", seq)
@@ -430,8 +444,12 @@ class KittiOdomStereo(KittiRawStereo):
                 continue
             size = orig_size or _image_size(os.path.join(left_dir, frames[0]))
             K = _scaled_K(P2[:, :3].copy(), size, (width, height))
-            # Baseline: P3 = K [R | t] with t_x = -fx * b for the right cam.
-            self.baselines[seq] = float(-P3[0, 3] / P3[0, 0])
+            # Baseline between the two color cams from the rectified
+            # x-offsets (P[0,3] = -fx * t_x): b = (P2[0,3] - P3[0,3])/fx.
+            # (P2's own offset is usually ~0 but not exactly, so diff
+            # the two rather than trusting P3 alone.)
+            baseline = float((P2[0, 3] - P3[0, 3]) / P3[0, 0])
+            self.baselines[seq] = baseline
             for a, b in zip(frames[:-1], frames[1:]):
                 self.samples.append(
                     (
@@ -439,6 +457,7 @@ class KittiOdomStereo(KittiRawStereo):
                         os.path.join(right_dir, a),
                         os.path.join(left_dir, b),
                         K,
+                        baseline,
                     )
                 )
 

@@ -151,19 +151,22 @@ class SyntheticScenes:
             "depth": depth,
             "T_ts": T_ts,
             "K": self.K,
+            # Per-sample baseline (batch contract field): the config's
+            # value, since the scenes were rendered with it.
+            "baseline": np.float32(b),
         }
 
     def batch(self, batch_size: int, rng: np.random.Generator | None = None) -> Dict[str, np.ndarray]:
         rng = rng or self._rng
         idx = rng.integers(0, len(self._scenes), size=batch_size)
-        keys = ("image_t", "image_r", "image_s", "K")
+        keys = ("image_t", "image_r", "image_s", "K", "baseline")
         out = {k: np.stack([self._scenes[i][k] for i in idx]) for k in keys}
         return out
 
     def fixed_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
         """Deterministic batch (first scenes) — for overfit tests."""
         idx = [i % len(self._scenes) for i in range(batch_size)]
-        keys = ("image_t", "image_r", "image_s", "K")
+        keys = ("image_t", "image_r", "image_s", "K", "baseline")
         return {k: np.stack([self._scenes[i][k] for i in idx]) for k in keys}
 
     def iterator(self, batch_size: int, fixed: bool = False) -> Iterator[Dict[str, np.ndarray]]:

