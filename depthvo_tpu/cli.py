@@ -221,7 +221,18 @@ def cmd_eval_odom(args) -> int:
 
 
 def cmd_infer(args) -> int:
-    from depthvo_tpu.data.kitti import load_image
+    """Batched depth inference over a directory of frames.
+
+    One compiled shape, async pipelined uploads/fetches, uint8 uplink —
+    NOT the reference's per-image pycaffe loop (SURVEY.md §3.2 hot loop:
+    the thing the rebuild exists to beat). Decode runs on a host thread
+    pool; the whole directory goes through ``eval.runner.predict_depths``.
+    """
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from depthvo_tpu.data.kitti import load_image_u8
+    from depthvo_tpu.eval.runner import predict_depths
 
     model = _load_model(args)
     os.makedirs(args.output_dir, exist_ok=True)
@@ -230,16 +241,30 @@ def cmd_infer(args) -> int:
         for f in os.listdir(args.images)
         if f.lower().endswith((".png", ".jpg", ".jpeg"))
     )
+    if not paths:
+        print(f"no images found under {args.images}")
+        return 2
     h, w = _model_resolution(args, model)
-    for path in paths:
-        img = load_image(path, h, w)
-        depth = model.depth(img)[0]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        frames = np.stack(
+            list(pool.map(lambda p: load_image_u8(p, h, w), paths))
+        )
+    t0 = time.perf_counter()
+    depths = predict_depths(
+        model, frames, batch_size=min(args.batch_size, len(paths))
+    )
+    dt = time.perf_counter() - t0
+    for path, depth in zip(paths, depths):
         out = os.path.join(
             args.output_dir,
             os.path.splitext(os.path.basename(path))[0] + "_depth.npy",
         )
         np.save(out, depth)
-        print(f"{path} -> {out} (depth range {depth.min():.2f}..{depth.max():.2f} m)")
+    print(
+        f"{len(paths)} frames -> {args.output_dir} "
+        f"({len(paths) / max(dt, 1e-9):.1f} frames/s; depth range "
+        f"{depths.min():.2f}..{depths.max():.2f} m)"
+    )
     return 0
 
 
@@ -386,9 +411,17 @@ def cmd_bench(args) -> int:
                 steps=args.steps,
                 variant=args.variant,
             )
+        print(f"{'layer':16s} {'forward':>10s} {'backward':>10s}"
+              f" {'fwd cum':>10s} {'bwd cum':>10s}")
         for row in result["rows"]:
-            print(f"{row['layer']:16s} {row['layer_ms']:8.3f} ms"
-                  f"  (cumulative {row['cumulative_ms']:8.3f} ms)")
+            bwd = row.get("backward_ms")
+            bwd_c = row.get("bwd_cumulative_ms")
+            print(
+                f"{row['layer']:16s} {row['forward_ms']:8.3f} ms"
+                f" {bwd if bwd is not None else float('nan'):8.3f} ms"
+                f" {row['fwd_cumulative_ms']:10.3f}"
+                f" {bwd_c if bwd_c is not None else float('nan'):10.3f}"
+            )
         print(json.dumps(result))
         return 0
     result = run_benchmark(
@@ -475,7 +508,8 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--images", required=True)
     p.add_argument("--output-dir", default="./depth_out")
-    p.set_defaults(fn=cmd_infer)
+    # Inference amortizes over bigger batches than training's default.
+    p.set_defaults(fn=cmd_infer, batch_size=16)
 
     p = sub.add_parser("prep", help="build a train-list file from KITTI raw/odometry")
     _add_common(p)

@@ -57,6 +57,10 @@ def time_fn(
     return {
         "mean_s": float(arr.mean()),
         "median_s": float(np.median(arr)),
+        # Min over chunks: the lowest-noise estimator for repeated
+        # identical device work (timing noise is strictly additive) —
+        # what the per-layer difference table uses.
+        "min_s": float(arr.min()),
         "p95_s": float(np.percentile(arr, 95)),
         "steps": steps,
     }
@@ -79,20 +83,28 @@ def depth_layer_table(
     batch_size: int = 128,
     height: int = 160,
     width: int = 608,
-    steps: int = 5,
+    steps: int = 20,
     variant: str = "full_feat",
+    include_backward: bool = True,
+    layers: "list | None" = None,
 ) -> Dict[str, Any]:
-    """Per-layer forward timing of DepthNet — the ``caffe time`` analog
-    (SURVEY.md §3.5: per-layer Forward timing table).
+    """Per-layer Forward AND Backward timing of DepthNet — the
+    ``caffe time`` analog (SURVEY.md §3.5: per-layer fwd/bwd table).
 
     XLA compiles whole programs, so layers cannot be timed inside one
     run; instead each top-level module boundary is timed as its own
     jitted PREFIX program (flax ``capture_intermediates`` + XLA dead-code
     elimination discards everything after the returned intermediate), and
-    the per-layer time is the difference of consecutive cumulative times.
-    Differences of medians are noisy for cheap layers (can go slightly
-    negative); the cumulative column is the trustworthy one. One compile
-    per boundary — slow the first time, cached after.
+    per-layer time is the difference of consecutive cumulative times.
+    Backward: the same prefix with ``jax.grad`` of a scalar loss of the
+    captured intermediate w.r.t. the params — forward-to-boundary plus
+    backward-from-boundary; subtracting the forward cumulative isolates
+    the backward share.
+
+    Noise control (the round-2 negative-row fix): cumulative estimates
+    use the MIN over timing chunks (additive-noise-optimal) at >= 20
+    reps, instead of differences of 5-rep medians. One compile per
+    boundary — slow the first time, cached after.
     """
     import dataclasses
 
@@ -116,6 +128,16 @@ def depth_layer_table(
         rng.uniform(-1, 1, (batch_size, height, width, 3)), jnp.float32
     )
     order = depth_layer_order(cfg.model.num_scales)
+    if layers is not None:
+        # Restrict to a boundary subset (each boundary costs 1-2 fresh
+        # XLA compiles; CI times a prefix of the table, PERF.md the whole).
+        order = [b for b in order if b in set(layers)]
+    K_INNER = 4
+
+    def capture(boundary):
+        # Match the TOP-LEVEL module only — name-matching would also hit
+        # nested Conv_0/ConvBlock_0 inside stages.
+        return lambda mdl, name: mdl.path == (boundary,)
 
     def make_prefix_fn(boundary):
         @jax.jit
@@ -125,41 +147,82 @@ def depth_layer_table(
                     variables,
                     x + c * 0.0,  # carry-dependent: no loop hoisting
                     train=False,
-                    # Match the TOP-LEVEL module only — name-matching would
-                    # also hit nested Conv_0/ConvBlock_0 inside stages.
-                    capture_intermediates=(
-                        lambda mdl, name: mdl.path == (boundary,)
-                    ),
+                    capture_intermediates=capture(boundary),
                     mutable=["intermediates"],
                 )
                 leaf = jax.tree.leaves(mods["intermediates"])[0]
                 return c + jnp.sum(leaf.astype(jnp.float32)), None
 
-            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=4)
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K_INNER)
             return c
 
         return prefix
 
-    rows = []
-    prev = 0.0
-    for boundary in order:
-        fn = make_prefix_fn(boundary)
-        st = time_fn(lambda f=fn: f(variables, x), steps=steps, warmup=2, chunk=2)
-        cum = st["median_s"] / 4
-        rows.append(
-            {
-                "layer": boundary,
-                "cumulative_ms": round(cum * 1e3, 3),
-                "layer_ms": round((cum - prev) * 1e3, 3),
-            }
+    def make_prefix_grad_fn(boundary):
+        @jax.jit
+        def prefix_grad(variables, x):
+            def body(c, _):
+                def loss_fn(params):
+                    _, mods = depth_net.apply(
+                        {
+                            "params": params,
+                            "batch_stats": variables["batch_stats"],
+                        },
+                        x + c * 0.0,
+                        train=False,
+                        capture_intermediates=capture(boundary),
+                        mutable=["intermediates"],
+                    )
+                    leaf = jax.tree.leaves(mods["intermediates"])[0]
+                    return jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+
+                loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+                gsum = sum(
+                    jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads)
+                )
+                return c + loss + gsum, None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K_INNER)
+            return c
+
+        return prefix_grad
+
+    def cum_time(fn):
+        st = time_fn(
+            lambda: fn(variables, x), steps=steps, warmup=2, chunk=4
         )
-        prev = cum
+        return st["min_s"] / K_INNER
+
+    rows = []
+    prev_f = 0.0
+    prev_b = 0.0
+    for boundary in order:
+        # Monotone-cumulative projection: a longer prefix can't be
+        # cheaper, so residual noise is clamped into the NEXT row's
+        # difference instead of printing a negative layer time.
+        cum_f = max(cum_time(make_prefix_fn(boundary)), prev_f)
+        row = {
+            "layer": boundary,
+            "forward_ms": round((cum_f - prev_f) * 1e3, 3),
+            "fwd_cumulative_ms": round(cum_f * 1e3, 3),
+        }
+        if include_backward:
+            # fwd+bwd program minus the forward cumulative -> backward
+            # cumulative; consecutive differences -> per-layer backward.
+            cum_fb = cum_time(make_prefix_grad_fn(boundary))
+            cum_b = max(cum_fb - cum_f, prev_b)
+            row["backward_ms"] = round((cum_b - prev_b) * 1e3, 3)
+            row["bwd_cumulative_ms"] = round(cum_b * 1e3, 3)
+            prev_b = cum_b
+        rows.append(row)
+        prev_f = cum_f
     return {
         "mode": "depth_layers",
         "batch_size": batch_size,
         "height": height,
         "width": width,
         "backend": jax.default_backend(),
+        "estimator": f"min over chunks, {steps} reps, K_inner={K_INNER}",
         "rows": rows,
     }
 
@@ -275,6 +338,21 @@ def run_benchmark(
         else:
             batch = pmesh.shard_batch(batch_np, mesh)
             step_fn = train_loop.make_train_step(cfg, mesh)
+        # FLOPs of the whole step program from XLA cost analysis — the
+        # basis of the training-MFU number (SURVEY.md §6: the perf bar
+        # is per-chip throughput; MFU is its honest form). Computed
+        # BEFORE timing: donation invalidates the state buffers after
+        # the first call. Also pre-warms the compile cache.
+        try:
+            cost = step_fn.lower(state, batch).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            if flops > 0:
+                extra["flops_per_step"] = flops / stats_scale
+        except Exception:  # cost analysis is best-effort per backend
+            pass
+
         # donate_argnums=0 invalidates state each call: rebind.
         holder = {"state": state}
 
@@ -304,8 +382,13 @@ def run_benchmark(
         stats = time_fn(fn, steps=steps)
 
     if stats_scale != 1:
-        for k in ("mean_s", "median_s", "p95_s"):
+        for k in ("mean_s", "median_s", "min_s", "p95_s"):
             stats[k] = stats[k] / stats_scale
+    if "flops_per_step" in extra and jax.default_backend() == "tpu":
+        # v5e peak: 197 TFLOP/s bf16 per chip.
+        extra["mfu"] = round(
+            extra["flops_per_step"] / stats["median_s"] / 197e12, 4
+        )
     frames_per_sec = batch_size / stats["median_s"]
     return {
         "mode": mode,
