@@ -140,7 +140,16 @@ def prep_eigen(
     os.makedirs(gt_dir, exist_ok=True)
     list_path = os.path.join(out_dir, "eigen_list.txt")
     n, skipped = 0, 0
+    source = (
+        f"canonical {os.path.basename(split_file)}"
+        if split_file
+        else "derived-scene-list"
+    )
     with open(list_path, "w") as lf:
+        # Provenance header read back by eval.runner.run_depth_eval: a
+        # derived (non-canonical) list is flagged so its metrics are
+        # never silently compared to published Eigen-697 tables.
+        lf.write(f"# split-source: {source}\n")
         for drive, frame in frames:
             date = drive.split("_drive_")[0]
             img_rel = os.path.join(

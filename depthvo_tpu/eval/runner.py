@@ -36,8 +36,13 @@ def _batched(items: List, batch_size: int):
 
 
 def predict_depths(
-    model: DepthVO, frames: np.ndarray, batch_size: int = 16, mesh=None
-) -> np.ndarray:
+    model: DepthVO,
+    frames: np.ndarray,
+    batch_size: int = 16,
+    mesh=None,
+    postprocess=None,
+    postprocess_workers: int = 4,
+):
     """Batched depth inference over (N, H, W, 3) frames -> (N, H, W).
 
     Pads the trailing batch to keep a single compiled shape (XLA
@@ -54,6 +59,14 @@ def predict_depths(
     over the 'data' axis (weights must be replicated first:
     ``model.to_mesh(mesh)``); XLA partitions the forward with no further
     code. ``batch_size`` must divide by ``mesh.size``.
+
+    ``postprocess``: optional ``fn(frame_idx, depth_2d) -> Any`` applied
+    per frame ON A THREAD POOL as results drain, so host-side work (e.g.
+    the eval protocol's resize-to-gt) overlaps the remaining device
+    fetches instead of serializing after them (VERDICT r2 item 8). PIL
+    and numpy release the GIL, so this overlaps even on a 1-core host
+    whose fetches are link-bound. Returns the ordered list of
+    postprocess results instead of the stacked array.
     """
     import jax
 
@@ -69,28 +82,50 @@ def predict_depths(
     else:
         put = jax.device_put
 
+    pool = None
+    if postprocess is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=postprocess_workers)
+
     n = len(frames)
     pending: list = []
     out = []
 
     def drain_one():
-        d, c = pending.pop(0)
-        out.append(np.asarray(1.0 / d[..., 0])[:c])
+        d, c, start = pending.pop(0)
+        arr = np.asarray(1.0 / d[..., 0])[:c]
+        if pool is not None:
+            out.extend(
+                pool.submit(postprocess, start + j, arr[j]) for j in range(c)
+            )
+        else:
+            out.append(arr)
 
-    for chunk in _batched(list(range(n)), batch_size):
-        batch = frames[chunk[0] : chunk[-1] + 1]
-        pad = batch_size - len(batch)
-        if pad:
-            batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)])
-        dev = put(batch)  # async upload
-        pending.append(
-            (model._depth_fn(model.params, model.batch_stats, dev), len(chunk))
-        )
-        if len(pending) >= MAX_IN_FLIGHT:
+    try:
+        for chunk in _batched(list(range(n)), batch_size):
+            batch = frames[chunk[0] : chunk[-1] + 1]
+            pad = batch_size - len(batch)
+            if pad:
+                batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)])
+            dev = put(batch)  # async upload
+            pending.append(
+                (
+                    model._depth_fn(model.params, model.batch_stats, dev),
+                    len(chunk),
+                    chunk[0],
+                )
+            )
+            if len(pending) >= MAX_IN_FLIGHT:
+                drain_one()
+        while pending:
             drain_one()
-    while pending:
-        drain_one()
-    return np.concatenate(out, axis=0)
+        if pool is not None:
+            return [f.result() for f in out]
+        return np.concatenate(out, axis=0)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
 
 
 def predict_trajectory(
@@ -134,7 +169,17 @@ def run_depth_eval(
     run batched inference, resize to gt, compute the metric table.
 
     ``split_file`` lines: `<relative_image_path> <relative_gt_depth_npy>`.
+    Comment lines (``#``) are skipped; a ``# split-source: ...`` header
+    (written by ``prep-eigen``) is read as provenance.
+
+    The returned dict carries a ``split`` sub-dict —
+    ``{split_file, n_frames, canonical, source}`` — and a warning is
+    emitted unless the run used the canonical 697-frame Eigen list, so a
+    derived-scene-list run can never be silently compared to published
+    tables (SURVEY.md §3.2; VERDICT r2 item 9).
     """
+    import warnings
+
     from depthvo_tpu.data.kitti import load_image_u8
 
     if model is None:
@@ -144,8 +189,13 @@ def run_depth_eval(
             else DepthVO.from_random()
         )
     frames, gts = [], []
+    split_source = "unknown"
     with open(split_file) as f:
         for line in f:
+            if line.startswith("#"):
+                if line[1:].strip().startswith("split-source:"):
+                    split_source = line.split(":", 1)[1].strip()
+                continue
             parts = line.split()
             if len(parts) < 2:
                 continue
@@ -165,22 +215,54 @@ def run_depth_eval(
         mesh = pmesh.make_mesh(num_devices)
         model.to_mesh(mesh)
         batch_size = -(-batch_size // mesh.size) * mesh.size
-    preds = predict_depths(model, np.stack(frames), batch_size, mesh=mesh)
+
+    # Per-frame resize-to-gt (reference protocol) runs as a postprocess
+    # on predict_depths' drain path: the PIL work of batch i overlaps
+    # the (link-bound) fetch of batch i+1 instead of serializing after
+    # the whole sweep (VERDICT r2 item 8).
+    from PIL import Image
+
+    raw_preds: list = [None] * len(frames) if save_preds_dir else None
+
+    def _resize_to_gt(i: int, p: np.ndarray) -> np.ndarray:
+        if raw_preds is not None:
+            raw_preds[i] = p
+        g = gts[i]
+        im = Image.fromarray(p.astype(np.float32), mode="F")
+        return np.asarray(im.resize((g.shape[1], g.shape[0]), Image.BILINEAR))
+
+    preds_resized = predict_depths(
+        model,
+        np.stack(frames),
+        batch_size,
+        mesh=mesh,
+        postprocess=_resize_to_gt,
+    )
     if save_preds_dir:
         # Reference parity: predictions land on disk as .npy before the
         # metric pass (SURVEY.md §3.2 "save predictions (.npy)").
         os.makedirs(save_preds_dir, exist_ok=True)
-        np.save(os.path.join(save_preds_dir, "depth_predictions.npy"), preds)
-    # Resize predictions to each gt's resolution (reference protocol).
-    from PIL import Image
-
-    preds_resized = []
-    for p, g in zip(preds, gts):
-        im = Image.fromarray(p.astype(np.float32), mode="F")
-        preds_resized.append(
-            np.asarray(im.resize((g.shape[1], g.shape[0]), Image.BILINEAR))
+        np.save(
+            os.path.join(save_preds_dir, "depth_predictions.npy"),
+            np.stack(raw_preds),
         )
-    return compute_depth_metrics(preds_resized, gts, max_depth=max_depth)
+    n = len(frames)
+    canonical = n == 697 and "derived" not in split_source
+    if not canonical:
+        warnings.warn(
+            f"depth eval ran on a NON-CANONICAL split ({n} frames, "
+            f"source: {split_source}) — metrics are not comparable to "
+            "published Eigen-697 tables",
+            stacklevel=2,
+        )
+    metrics = compute_depth_metrics(preds_resized, gts, max_depth=max_depth)
+    metrics["split"] = {
+        "split_file": os.path.abspath(split_file),
+        "n_frames": n,
+        "canonical": canonical,
+        "source": split_source,
+    }
+    return metrics
 
 
 def run_odometry_eval(

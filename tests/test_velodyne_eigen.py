@@ -164,15 +164,20 @@ class TestPrepEigenEndToEnd:
         assert n == 3
         assert os.path.isfile(list_path)
 
-        metrics = run_depth_eval(
-            checkpoint_dir=None,
-            kitti_root=root,
-            split_file=list_path,
-            height=32,
-            width=96,
-        )
+        with pytest.warns(UserWarning, match="NON-CANONICAL"):
+            metrics = run_depth_eval(
+                checkpoint_dir=None,
+                kitti_root=root,
+                split_file=list_path,
+                height=32,
+                width=96,
+            )
         for k in ("abs_rel", "rmse", "a1"):
             assert np.isfinite(metrics[k])
+        # Provenance (VERDICT r2 item 9): the derived split is flagged.
+        assert metrics["split"]["n_frames"] == 3
+        assert metrics["split"]["canonical"] is False
+        assert metrics["split"]["source"] == "derived-scene-list"
 
     def test_prep_eigen_cli(self, raw_tree_with_velo, tmp_path):
         from depthvo_tpu import cli
@@ -185,6 +190,8 @@ class TestPrepEigenEndToEnd:
         ])
         assert rc == 0
         lines = open(os.path.join(out, "eigen_list.txt")).read().splitlines()
+        assert lines[0] == "# split-source: derived-scene-list"
+        lines = [l for l in lines if not l.startswith("#")]
         assert len(lines) == 3
         img_rel, gt_abs = lines[0].split()
         assert os.path.isfile(os.path.join(root, img_rel))
