@@ -24,8 +24,9 @@ two kernels here:
    pixel, and bilinear vertical taps select rows with v0==r / v0+1==r.
    Candidates are @pl.when-predicated (a handful fire per row-tile for
    rigid motion). The temporal/feature losses warp CONSTANT sources, so
-   no scatter-shaped d/d_src exists; the backward (d_u, d_v) reuses the
-   same candidate gathers. Measured ~3x XLA fwd+bwd, f32-exact.
+   no scatter-shaped d/d_src exists; the forward also accumulates the
+   two gradient factors (dout/du, dout/dv), making the backward pure
+   elementwise XLA — no second gather kernel. f32-exact.
 """
 
 from __future__ import annotations
@@ -276,9 +277,10 @@ _stereo_sample.defvjp(_stereo_sample_fwd, _stereo_sample_bwd)
 #
 # Gradients: the temporal/feature losses warp CONSTANT sources (the other
 # frame's pixels; frozen features), so no scatter-shaped d/d_src is ever
-# needed — the backward is d/d_coords only, the same bounded gathers.
-# ``general_warp_frozen_src`` therefore stops gradients to ``src``
-# (asserted by construction) and computes (d_u, d_v) with a second kernel.
+# needed — the backward is d/d_coords only. ``general_warp_frozen_src``
+# therefore stops gradients to ``src`` (asserted by construction), and
+# the differentiated forward emits per-channel gradient factors S/D so
+# the VJP is an elementwise multiply-reduce in XLA (no second kernel).
 #
 # Window semantics (masked in `valid`): vertical displacement
 # |v - row| <= pad_v - 1 and horizontal displacement |u - col| <= 127.
@@ -377,15 +379,32 @@ def _gen_row_candidates(srow_refs, u0, au, dv, dv1, rv, n_blocks, consume):
                     consume(c, h, s1 - s0, sel0, sel1, ob)
 
 
-def _gen_fwd_kernel(*refs, rv, pad_v, Hp):
+def _gen_fwd_kernel(*refs, rv, pad_v, Hp, emit_grad_aux):
     """Window source blocks: the kernel receives rv//8 row-blocks of the
     source (shifted per-tile via the BlockSpec index maps) instead of the
     whole image — VMEM per buffer is C*rv*W floats, not C*H*W, which
     keeps the 19-channel fused RGB+feature payload far below the scoped
-    VMEM limit and streams only the reachable window from HBM."""
+    VMEM limit and streams only the reachable window from HBM.
+
+    ``emit_grad_aux``: also accumulate the two per-channel gradient
+    factors alongside the output —
+
+        S[c] = slope_dv*(1-av) + slope_dv1*av      (d out[c] / d u)
+        D[c] = h_dv1 - h_dv                        (d out[c] / d v)
+
+    so the custom-VJP backward is PURE elementwise XLA (d_u = sum_c g*S,
+    d_v = sum_c g*D) with no second gather kernel. The accumulations
+    reuse the per-candidate h/slope the forward already computed — two
+    extra FMAs per candidate vs re-running every candidate gather in a
+    backward kernel, which the train-step trace showed costing as much
+    as the forward (~4.3 ms/step at C=19, 13% of the whole step)."""
     nv = rv // TILE_ROWS
     srow_refs = refs[:nv]
-    u_ref, v_ref, out_ref = refs[nv], refs[nv + 1], refs[nv + 2]
+    u_ref, v_ref = refs[nv], refs[nv + 1]
+    if emit_grad_aux:
+        out_ref, s_ref, d_ref = refs[nv + 2], refs[nv + 3], refs[nv + 4]
+    else:
+        out_ref = refs[nv + 2]
     C = srow_refs[0].shape[0]
     W = srow_refs[0].shape[2]
     t = pl.program_id(1)
@@ -394,40 +413,18 @@ def _gen_fwd_kernel(*refs, rv, pad_v, Hp):
     n_blocks = W // LANE
     for c in range(C):
         out_ref[c, :, :] = jnp.zeros((TILE_ROWS, W), jnp.float32)
+        if emit_grad_aux:
+            s_ref[c, :, :] = jnp.zeros((TILE_ROWS, W), jnp.float32)
+            d_ref[c, :, :] = jnp.zeros((TILE_ROWS, W), jnp.float32)
 
     def consume(c, h, slope, sel0, sel1, ob):
         lo = ob * LANE
         a_v = av[:, lo : lo + LANE]
-        out_ref[c, :, lo : lo + LANE] += h * (
-            (1.0 - a_v) * sel0 + a_v * sel1
-        )
-
-    _gen_row_candidates(srow_refs, u0, au, dv, dv1, rv, n_blocks, consume)
-
-
-def _gen_bwd_kernel(*refs, rv, pad_v, Hp):
-    """d_u[i,j] = sum_c g * slope * w_v ; d_v[i,j] = sum_c g * (h1 - h0)."""
-    nv = rv // TILE_ROWS
-    srow_refs = refs[:nv]
-    g_ref, u_ref, v_ref = refs[nv], refs[nv + 1], refs[nv + 2]
-    du_ref, dv_ref = refs[nv + 3], refs[nv + 4]
-    C = srow_refs[0].shape[0]
-    W = srow_refs[0].shape[2]
-    t = pl.program_id(1)
-    s = pl.multiple_of(jnp.clip(t * TILE_ROWS - pad_v, 0, Hp - rv), TILE_ROWS)
-    u0, au, av, dv, dv1 = _gen_coords(u_ref, v_ref, s, rv, W)
-    n_blocks = W // LANE
-    du_ref[:, :] = jnp.zeros((TILE_ROWS, W), jnp.float32)
-    dv_ref[:, :] = jnp.zeros((TILE_ROWS, W), jnp.float32)
-
-    def consume(c, h, slope, sel0, sel1, ob):
-        lo = ob * LANE
-        a_v = av[:, lo : lo + LANE]
-        gg = g_ref[c, :, lo : lo + LANE]
-        du_ref[:, lo : lo + LANE] += gg * slope * (
-            (1.0 - a_v) * sel0 + a_v * sel1
-        )
-        dv_ref[:, lo : lo + LANE] += gg * h * (sel1 - sel0)
+        w_v = (1.0 - a_v) * sel0 + a_v * sel1
+        out_ref[c, :, lo : lo + LANE] += h * w_v
+        if emit_grad_aux:
+            s_ref[c, :, lo : lo + LANE] += slope * w_v
+            d_ref[c, :, lo : lo + LANE] += h * (sel1 - sel0)
 
     _gen_row_candidates(srow_refs, u0, au, dv, dv1, rv, n_blocks, consume)
 
@@ -454,7 +451,7 @@ def _gen_specs(B, C, Hp, Wp, pad_v):
     return srow_specs, tile_spec, ctile_spec
 
 
-def _gen_sample_impl(src, u, v, pad_v):
+def _gen_sample_impl(src, u, v, pad_v, emit_grad_aux=False):
     B, H, W, C = src.shape
     Wp = -(-W // LANE) * LANE
     Hp = -(-H // TILE_ROWS) * TILE_ROWS
@@ -463,14 +460,28 @@ def _gen_sample_impl(src, u, v, pad_v):
     up = _pad_hw(jnp.clip(u, 0.0, W - 1), Hp, Wp, H, W)
     vp = _pad_hw(jnp.clip(v, 0.0, H - 1), Hp, Wp, H, W)
     srow_specs, tile_spec, ctile_spec = _gen_specs(B, C, Hp, Wp, pad_v)
-    out = _pallas_call(
-        functools.partial(_gen_fwd_kernel, rv=rv, pad_v=pad_v, Hp=Hp),
+    ctile_shape = jax.ShapeDtypeStruct((B, C, Hp, Wp), jnp.float32)
+    n_out = 3 if emit_grad_aux else 1
+    outs = _pallas_call(
+        functools.partial(
+            _gen_fwd_kernel,
+            rv=rv,
+            pad_v=pad_v,
+            Hp=Hp,
+            emit_grad_aux=emit_grad_aux,
+        ),
         grid=(B, Hp // TILE_ROWS),
         in_specs=[*srow_specs, tile_spec, tile_spec],
-        out_specs=ctile_spec,
-        out_shape=jax.ShapeDtypeStruct((B, C, Hp, Wp), jnp.float32),
+        out_specs=tuple([ctile_spec] * n_out) if emit_grad_aux else ctile_spec,
+        out_shape=tuple([ctile_shape] * n_out) if emit_grad_aux else ctile_shape,
     )(*([src_chw] * len(srow_specs)), up, vp)
-    return jnp.transpose(out[:, :, :H, :W], (0, 2, 3, 1)).astype(src.dtype)
+    if emit_grad_aux:
+        out, s_aux, d_aux = outs
+        warped = jnp.transpose(out[:, :, :H, :W], (0, 2, 3, 1)).astype(src.dtype)
+        # S/D stay in padded CHW kernel layout: the backward contraction
+        # consumes them there (one transpose of g, no transposes of S/D).
+        return warped, s_aux, d_aux
+    return jnp.transpose(outs[:, :, :H, :W], (0, 2, 3, 1)).astype(src.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -479,32 +490,30 @@ def _gen_sample(src, u, v, pad_v):
 
 
 def _gen_sample_fwd(src, u, v, pad_v):
-    return _gen_sample_impl(src, u, v, pad_v), (src, u, v)
+    warped, s_aux, d_aux = _gen_sample_impl(
+        src, u, v, pad_v, emit_grad_aux=True
+    )
+    # src rides along for shape/dtype only (zeros_like cotangent); it is
+    # the frozen source image/feature map, alive in the loss graph anyway.
+    return warped, (src, s_aux, d_aux)
 
 
 def _gen_sample_bwd(pad_v, res, g):
-    src, u, v = res
+    """Pure-XLA backward from the forward's accumulated factors:
+    d_u = sum_c g[c] * S[c], d_v = sum_c g[c] * D[c] — a fused
+    elementwise-multiply-reduce, no second gather kernel (see
+    _gen_fwd_kernel's emit_grad_aux note for the trace numbers)."""
+    src, s_aux, d_aux = res
     B, H, W, C = src.shape
-    Wp = -(-W // LANE) * LANE
-    Hp = -(-H // TILE_ROWS) * TILE_ROWS
-    rv = 2 * pad_v + TILE_ROWS
-    src_chw = _pad_hw(jnp.transpose(src.astype(jnp.float32), (0, 3, 1, 2)), Hp, Wp, H, W)
-    g_chw = _pad_hw(jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2)), Hp, Wp, H, W)
-    up = _pad_hw(jnp.clip(u, 0.0, W - 1), Hp, Wp, H, W)
-    vp = _pad_hw(jnp.clip(v, 0.0, H - 1), Hp, Wp, H, W)
-    srow_specs, tile_spec, ctile_spec = _gen_specs(B, C, Hp, Wp, pad_v)
-    d_u, d_v = _pallas_call(
-        functools.partial(_gen_bwd_kernel, rv=rv, pad_v=pad_v, Hp=Hp),
-        grid=(B, Hp // TILE_ROWS),
-        in_specs=[*srow_specs, ctile_spec, tile_spec, tile_spec],
-        out_specs=(tile_spec, tile_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
-            jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
-        ),
-    )(*([src_chw] * len(srow_specs)), g_chw, up, vp)
+    # g: (B, H, W, C) -> padded CHW to match the kernel-layout residuals.
+    Hp, Wp = s_aux.shape[2], s_aux.shape[3]
+    g_chw = _pad_hw(
+        jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2)), Hp, Wp, H, W
+    )
+    d_u = jnp.sum(g_chw * s_aux, axis=1)[:, :H, :W]
+    d_v = jnp.sum(g_chw * d_aux, axis=1)[:, :H, :W]
     # Frozen source by contract: no scatter-shaped d_src is computed.
-    return jnp.zeros_like(src), d_u[:, :H, :W], d_v[:, :H, :W]
+    return jnp.zeros_like(src), d_u, d_v
 
 
 _gen_sample.defvjp(_gen_sample_fwd, _gen_sample_bwd)
