@@ -126,6 +126,11 @@ def _train_config(variant: str, config_id: int, batch_size: int = 4,
         "median_step_s": r["median_s"],
         "steps_per_sec": round(1.0 / r["median_s"], 3),
     }
+    # Training MFU from XLA cost analysis (profiling.run_benchmark):
+    # the honest per-chip throughput form (SURVEY.md §6).
+    for k in ("flops_per_step", "mfu"):
+        if k in r:
+            detail[k] = r[k]
     if scan:
         seq = run_benchmark(
             mode="train_step", batch_size=batch_size, steps=steps, variant=variant
@@ -235,8 +240,15 @@ def config5_eval_sweep(n_frames: int = 256, seq_len: int = 256) -> dict:
                 "device": round(t_device, 3),
                 "link": round(max(t_depth - t_device, 0.0), 3),
                 "host_resize_serial": round(t_host_serial, 3),
+                # Bounded by the serial cost: tunnel bandwidth varies
+                # between sweeps, so the post-minus-plain difference can
+                # go negative for reasons unrelated to the resize.
                 "host_hidden_by_overlap": round(
-                    max(t_host_serial - (t_depth_post - t_depth), 0.0), 3
+                    min(
+                        max(t_host_serial - (t_depth_post - t_depth), 0.0),
+                        t_host_serial,
+                    ),
+                    3,
                 ),
             },
         },

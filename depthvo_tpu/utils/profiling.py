@@ -349,7 +349,11 @@ def run_benchmark(
                 cost = cost[0]
             flops = float(cost.get("flops", 0.0))
             if flops > 0:
-                extra["flops_per_step"] = flops / stats_scale
+                # XLA cost analysis counts a while-loop body ONCE, not
+                # x trip count (verified: the K=8 scan program reports
+                # ~1x the straight-line step's flops, not ~8x), so the
+                # scanned program's total already IS per-step flops.
+                extra["flops_per_step"] = flops
         except Exception:  # cost analysis is best-effort per backend
             pass
 
