@@ -249,10 +249,14 @@ def cmd_infer(args) -> int:
         frames = np.stack(
             list(pool.map(lambda p: load_image_u8(p, h, w), paths))
         )
+    bs = min(args.batch_size, len(paths))
+    # One warmup batch so the printed rate is the pipeline's, not XLA's
+    # one-time compile (30+ s on a tunneled chip, cached afterwards).
     t0 = time.perf_counter()
-    depths = predict_depths(
-        model, frames, batch_size=min(args.batch_size, len(paths))
-    )
+    predict_depths(model, frames[:bs], batch_size=bs)
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    depths = predict_depths(model, frames, batch_size=bs)
     dt = time.perf_counter() - t0
     for path, depth in zip(paths, depths):
         out = os.path.join(
@@ -262,7 +266,8 @@ def cmd_infer(args) -> int:
         np.save(out, depth)
     print(
         f"{len(paths)} frames -> {args.output_dir} "
-        f"({len(paths) / max(dt, 1e-9):.1f} frames/s; depth range "
+        f"({len(paths) / max(dt, 1e-9):.1f} frames/s steady; "
+        f"first-call compile {t_compile:.1f} s; depth range "
         f"{depths.min():.2f}..{depths.max():.2f} m)"
     )
     return 0
