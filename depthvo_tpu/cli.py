@@ -402,6 +402,49 @@ def cmd_export_caffemodel(args) -> int:
     return 0
 
 
+def cmd_device_query(args) -> int:
+    """`caffe device_query` analog: enumerate accelerators + memory.
+
+    The reference prints one block per CUDA device (name, totalGlobalMem,
+    capability, ...; SURVEY.md §2b(ii) tools/caffe.cpp). Here each JAX
+    device reports its platform/kind/topology plus live HBM statistics
+    where the backend exposes them.
+    """
+    import jax
+
+    devices = jax.devices()
+    print(f"backend: {jax.default_backend()}  devices: {len(devices)}  "
+          f"process: {jax.process_index()}/{jax.process_count()}")
+    for d in devices:
+        line = f"[{d.id}] {d.device_kind} (platform={d.platform}"
+        coords = getattr(d, "coords", None)
+        if coords is not None:
+            line += f", coords={tuple(coords)}"
+        core = getattr(d, "core_on_chip", None)
+        if core is not None:
+            line += f", core={core}"
+        line += f", process={d.process_index})"
+        print(line)
+        try:
+            stats = d.memory_stats()
+        except (NotImplementedError, AttributeError, jax.errors.JaxRuntimeError):
+            stats = None
+        if stats:
+            total = stats.get("bytes_limit")
+            used = stats.get("bytes_in_use")
+            peak = stats.get("peak_bytes_in_use")
+            parts = []
+            if total is not None:
+                parts.append(f"hbm total {total / 2**30:.2f} GiB")
+            if used is not None:
+                parts.append(f"in use {used / 2**30:.3f} GiB")
+            if peak is not None:
+                parts.append(f"peak {peak / 2**30:.3f} GiB")
+            if parts:
+                print("     " + ", ".join(parts))
+    return 0
+
+
 def cmd_bench(args) -> int:
     from depthvo_tpu.utils.profiling import depth_layer_table, run_benchmark
 
@@ -558,6 +601,12 @@ def main(argv=None) -> int:
     p.add_argument("--net", default="depth", choices=["depth", "odom", "feat"])
     p.add_argument("--output", default="model.caffemodel")
     p.set_defaults(fn=cmd_export_caffemodel)
+
+    p = sub.add_parser(
+        "device-query",
+        help="enumerate accelerators + HBM stats (reference: caffe device_query)",
+    )
+    p.set_defaults(fn=cmd_device_query)
 
     p = sub.add_parser("bench", help="throughput benchmark (reference: caffe time)")
     _add_common(p)

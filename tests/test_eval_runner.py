@@ -236,3 +236,15 @@ def test_predict_depths_bounded_inflight_preserves_order(monkeypatch):
     monkeypatch.setattr(runner, "MAX_IN_FLIGHT", 2)
     out = predict_depths(model, frames, batch_size=2)  # drains mid-loop
     np.testing.assert_array_equal(out, baseline)
+
+
+def test_cli_device_query(capsys):
+    """`device-query` (the caffe device_query analog) lists every device
+    on the active backend with platform + process info."""
+    from depthvo_tpu import cli
+
+    rc = cli.main(["device-query"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "backend:" in out and "devices: 8" in out
+    assert out.count("(platform=") == 8
