@@ -442,3 +442,116 @@ def import_bn_by_order(
         return jax.tree_util.tree_unflatten(treedef, [leaves[p] for p in order])
 
     return rebuild(params, p_leaves), rebuild(batch_stats, s_leaves), report
+
+
+def fold_input_transform(
+    params: Any,
+    batch_stats: Any = None,
+    *,
+    conv_path: str,
+    mean,
+    scale: float = 1.0,
+    bn_path: Optional[str] = None,
+    bgr_flipped: bool = True,
+) -> Tuple[Any, Any]:
+    """Fold Caffe's data-layer preprocessing into the imported input conv.
+
+    The reference feeds its nets ``scale * (raw_bgr_255 - mean)`` (Caffe
+    ``transform_param``: per-channel ``mean_value`` subtraction, then
+    ``scale``; SURVEY.md §3.2 preprocessing). This framework feeds
+    ``raw_rgb_255 / 127.5 - 1``. For an already-imported first conv
+    (kernel HWIO, input axis indexing raw RGB after the import-time BGR
+    flip) the two are related by a per-channel affine map, which folds
+    exactly into the conv:
+
+        kernel' = kernel * (scale * 127.5)
+        delta[o] = sum_{h,w,i} kernel[h,w,i,o] * scale * (127.5 - mean_rgb[i])
+
+    ``delta`` lands in the conv bias (``bias' = bias + delta``) when the
+    model has one, else in the following BatchNorm's running mean
+    (``bn_path``): the rescaled conv's output is ``y_caffe - delta``, and
+    flax normalizes ``(y - mean)``, so ``mean' = mean - delta`` absorbs
+    the offset exactly.
+
+    Args:
+      params / batch_stats: the model trees AFTER import (kernel already
+        BGR-flipped when ``bgr_flipped``).
+      conv_path: dotted flax path owning the input ``.kernel``.
+      mean: per-channel means in the CAFFE file's channel order (BGR,
+        e.g. ``[104.0, 116.7, 122.7]``); length 3 is tiled over stacked-
+        frame inputs (the odometry net's 6-channel conv).
+      scale: Caffe ``transform_param.scale`` (applied after the mean).
+      bn_path: dotted path of the BatchNorm consuming the conv output —
+        required when the conv has no bias.
+      bgr_flipped: reorder ``mean`` with the same triplet flip the import
+        applied to the kernel's input axis.
+
+    Exactness caveat: with SAME zero padding the padded taps represent
+    raw=0 in *both* pipelines but different pre-activation values (Caffe's
+    pad is zero AFTER mean-subtraction). Interior outputs — everything a
+    7x7/pad-3 first conv computes more than 3 px from the border, i.e. the
+    whole Garg-cropped eval region — are exact; a border ring of
+    ``pad`` px differs. Returns ``(params, batch_stats)``.
+    """
+    flat = _flatten_with_path(params)
+    leaves = {path: leaf.copy() for path, leaf in flat}
+    index = {".".join(p): p for p, _ in flat}
+    kernel_key = index.get(conv_path + ".kernel")
+    if kernel_key is None:
+        raise ValueError(f"fold_input_transform: no kernel at {conv_path!r}")
+    kernel = leaves[kernel_key]
+    if kernel.ndim != 4:
+        raise ValueError(
+            f"fold_input_transform: {conv_path!r} is not a conv kernel"
+        )
+    c_in = kernel.shape[2]
+    mean = np.asarray(mean, np.float32).reshape(-1)
+    if mean.size == 3 and c_in % 3 == 0:
+        mean = np.tile(mean, c_in // 3)
+    if mean.size != c_in:
+        raise ValueError(
+            f"fold_input_transform: mean has {mean.size} channels, "
+            f"conv input has {c_in}"
+        )
+    if bgr_flipped:
+        mean = mean[caffemodel._bgr_group_index(c_in)]
+
+    # delta[o] from the ORIGINAL kernel, then rescale the kernel.
+    const_in = np.float32(scale) * (np.float32(127.5) - mean)  # (C_in,)
+    delta = np.einsum(
+        "hwio,i->o", kernel.astype(np.float64), const_in.astype(np.float64)
+    ).astype(np.float32)
+    leaves[kernel_key] = (kernel * np.float32(scale * 127.5)).astype(
+        kernel.dtype
+    )
+
+    bias_key = kernel_key[:-1] + ("bias",)
+    new_stats = batch_stats
+    if bias_key in leaves:
+        leaves[bias_key] = (leaves[bias_key] + delta).astype(
+            leaves[bias_key].dtype
+        )
+    else:
+        if bn_path is None or batch_stats is None:
+            raise ValueError(
+                f"fold_input_transform: {conv_path!r} has no bias; pass "
+                "bn_path + batch_stats to absorb the offset"
+            )
+        s_flat = _flatten_with_path(batch_stats)
+        s_leaves = {path: leaf.copy() for path, leaf in s_flat}
+        s_index = {".".join(p): p for p, _ in s_flat}
+        mean_key = s_index.get(bn_path + ".mean")
+        if mean_key is None:
+            raise ValueError(
+                f"fold_input_transform: no batch_stats mean at {bn_path!r}"
+            )
+        if s_leaves[mean_key].shape[0] != delta.shape[0]:
+            raise ValueError(
+                f"fold_input_transform: BN {bn_path!r} channels "
+                f"{s_leaves[mean_key].shape[0]} != conv out {delta.shape[0]}"
+            )
+        s_leaves[mean_key] = (s_leaves[mean_key] - delta).astype(
+            s_leaves[mean_key].dtype
+        )
+        new_stats = _rebuild(batch_stats, s_leaves)
+    return _rebuild(params, leaves), new_stats
