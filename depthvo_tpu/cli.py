@@ -402,6 +402,69 @@ def cmd_export_caffemodel(args) -> int:
     return 0
 
 
+def cmd_import_caffemodel(args) -> int:
+    """Inverse of `export-caffemodel`: seat a released `.caffemodel` into
+    a fresh model of the chosen variant and write a checkpoint that
+    eval-depth / eval-odom / infer consume directly — the whole fidelity
+    gate (SURVEY.md §7 step 2) as one command. Nets of the variant other
+    than --net stay randomly initialized (import each from its own file)."""
+    import jax
+
+    from depthvo_tpu.configs import base as config_io
+    from depthvo_tpu.io import caffemodel, checkpoint, import_weights
+
+    cfg = _make_config(args)
+    from depthvo_tpu.train.state import create_state
+
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    if args.net not in state.params:
+        print(f"net '{args.net}' not in variant '{cfg.name}' "
+              f"(has: {sorted(state.params)})")
+        return 2
+    layers = caffemodel.parse_caffemodel(args.caffemodel)
+    name_map = bn_map = None
+    if args.name_map:
+        with open(args.name_map) as f:
+            m = json.load(f)
+        name_map = m.get("convs", m if "bns" not in m else None)
+        bn_map = m.get("bns")
+    mean = (
+        [float(x) for x in args.input_mean.split(",")]
+        if args.input_mean else None
+    )
+    stats = state.batch_stats if args.net == "depth" else None
+    net_params, stats, report = import_weights.import_net(
+        layers,
+        state.params[args.net],
+        stats,
+        name_map=name_map,
+        bn_name_map=bn_map,
+        input_mean=mean,
+        input_scale=args.input_scale,
+        input_conv=args.input_conv,
+        input_bn=args.input_bn,
+        strict=not args.lenient,
+    )
+    new_params = dict(state.params)
+    new_params[args.net] = net_params
+    state = state.replace(
+        params=new_params,
+        batch_stats=stats if args.net == "depth" else state.batch_stats,
+    )
+    print(import_weights.format_report(report))
+    print(f"placed {len(report)} entries from {args.caffemodel} "
+          f"into net '{args.net}'")
+    if args.checkpoint_dir:
+        mgr = checkpoint.make_manager(args.checkpoint_dir)
+        checkpoint.save(mgr, state)
+        mgr.wait_until_finished()
+        config_io.save_json(
+            cfg, os.path.join(args.checkpoint_dir, "config.json")
+        )
+        print(f"wrote checkpoint -> {args.checkpoint_dir}")
+    return 0
+
+
 def cmd_device_query(args) -> int:
     """`caffe device_query` analog: enumerate accelerators + memory.
 
@@ -601,6 +664,30 @@ def main(argv=None) -> int:
     p.add_argument("--net", default="depth", choices=["depth", "odom", "feat"])
     p.add_argument("--output", default="model.caffemodel")
     p.set_defaults(fn=cmd_export_caffemodel)
+
+    p = sub.add_parser(
+        "import-caffemodel",
+        help="seat released Caffe weights into a checkpoint (fidelity gate)",
+    )
+    _add_common(p)
+    p.add_argument("--caffemodel", required=True)
+    p.add_argument("--net", default="depth", choices=["depth", "odom", "feat"])
+    p.add_argument("--name-map", default=None,
+                   help="JSON {caffe_layer: flax.path} or "
+                        "{'convs': {...}, 'bns': {...}}")
+    p.add_argument("--input-mean", default=None,
+                   help="Caffe transform_param mean_value per channel, BGR "
+                        "order (e.g. '104,116.7,122.7'); folds the data "
+                        "layer's preprocessing into the input conv")
+    p.add_argument("--input-scale", type=float, default=1.0,
+                   help="Caffe transform_param scale (applied after mean)")
+    p.add_argument("--input-conv", default=None,
+                   help="dotted flax path of the input conv (default: auto)")
+    p.add_argument("--input-bn", default=None,
+                   help="dotted path of the BN absorbing the fold offset")
+    p.add_argument("--lenient", action="store_true",
+                   help="don't fail on unmatched params")
+    p.set_defaults(fn=cmd_import_caffemodel)
 
     p = sub.add_parser(
         "device-query",

@@ -555,3 +555,117 @@ def fold_input_transform(
         )
         new_stats = _rebuild(batch_stats, s_leaves)
     return _rebuild(params, leaves), new_stats
+
+
+def _first_input_conv(params: Any) -> str:
+    """Dotted path of the network's input conv: the first 4-d kernel in
+    traversal order. Sanity-checked to consume raw frames (3 or 6
+    channels) so a mis-ordered tree fails loudly."""
+    for path, leaf in _flatten_with_path(params):
+        if path[-1] == "kernel" and leaf.ndim == 4:
+            dotted = ".".join(path[:-1])
+            if leaf.shape[2] not in (3, 6):
+                raise ValueError(
+                    f"first conv {dotted!r} has {leaf.shape[2]} input "
+                    "channels (expected raw frames); pass input_conv "
+                    "explicitly"
+                )
+            return dotted
+    raise ValueError("no conv kernel in params")
+
+
+def _sibling_bn(batch_stats: Any, conv_path: str) -> Optional[str]:
+    """BatchNorm module sharing the input conv's parent block, if any."""
+    parent = conv_path.rsplit(".", 1)[0] if "." in conv_path else ""
+    for path, _ in _flatten_with_path(batch_stats):
+        if path[-1] != "mean":
+            continue
+        dotted = ".".join(path[:-1])
+        mod_parent = dotted.rsplit(".", 1)[0] if "." in dotted else ""
+        if mod_parent == parent:
+            return dotted
+    return None
+
+
+def import_net(
+    layers: Dict[str, Dict],
+    params: Any,
+    batch_stats: Any = None,
+    *,
+    name_map: Optional[Dict[str, str]] = None,
+    bn_name_map: Optional[Dict[str, str]] = None,
+    input_mean=None,
+    input_scale: float = 1.0,
+    input_conv: Optional[str] = None,
+    input_bn: Optional[str] = None,
+    strict: bool = True,
+) -> Tuple[Any, Any, Dict[str, Dict[str, str]]]:
+    """One-call released-weights import: kernels + BN + input transform.
+
+    Chains the fidelity-gate pieces (SURVEY.md §7 step 2) in the order a
+    real ``.caffemodel`` needs them:
+
+    1. conv/dense kernels — :func:`import_by_name` when ``name_map`` is
+       given (the strategy for real releases), else
+       :func:`import_by_shape_order`;
+    2. BatchNorm+Scale pairs — :func:`import_bn_by_name` /
+       :func:`import_bn_by_order` (skipped when ``batch_stats`` is None,
+       e.g. the BN-free odometry net);
+    3. the data layer's preprocessing — :func:`fold_input_transform`
+       when ``input_mean`` is given (per-channel Caffe ``mean_value``,
+       BGR order). ``input_conv``/``input_bn`` default to the first 4-d
+       kernel in traversal order and its sibling BatchNorm.
+
+    Returns ``(params, batch_stats, report)`` with every placement in
+    ``report`` (dotted path -> {layer, via}).
+    """
+    report: Dict[str, Dict[str, str]] = {}
+    if name_map:
+        params, rep = import_by_name(layers, params, name_map, strict=strict)
+        report.update(rep)
+    else:
+        params, rep = import_by_shape_order(layers, params, strict=strict)
+        report.update(
+            {k: {"layer": v, "via": "shape"} for k, v in rep.items()}
+        )
+    if batch_stats is not None:
+        if bn_name_map:
+            params, batch_stats, rep = import_bn_by_name(
+                layers, params, batch_stats, bn_name_map, strict=strict
+            )
+        else:
+            params, batch_stats, rep = import_bn_by_order(
+                layers, params, batch_stats
+            )
+            rep = {k: {"layer": v, "via": "shape"} for k, v in rep.items()}
+        report.update(rep)
+    if input_mean is not None:
+        conv_path = input_conv or _first_input_conv(params)
+        bn_path = input_bn
+        flat_paths = {".".join(p) for p, _ in _flatten_with_path(params)}
+        if bn_path is None and conv_path + ".bias" not in flat_paths:
+            if batch_stats is None:
+                raise ValueError(
+                    f"{conv_path!r} has no bias and no batch_stats were "
+                    "given; cannot fold input_mean"
+                )
+            bn_path = _sibling_bn(batch_stats, conv_path)
+            if bn_path is None:
+                raise ValueError(
+                    f"no BatchNorm found next to {conv_path!r}; pass "
+                    "input_bn explicitly"
+                )
+        params, batch_stats = fold_input_transform(
+            params,
+            batch_stats,
+            conv_path=conv_path,
+            mean=input_mean,
+            scale=input_scale,
+            bn_path=bn_path,
+        )
+        report[conv_path + ".input_transform"] = {
+            "layer": f"mean={list(np.asarray(input_mean).ravel())} "
+                     f"scale={input_scale}",
+            "via": "fold",
+        }
+    return params, batch_stats, report

@@ -485,3 +485,36 @@ class TestFoldInputTransform:
             import_weights.fold_input_transform(
                 params, conv_path="Conv_0", mean=np.zeros(4, np.float32)
             )
+
+
+def test_cli_import_caffemodel_roundtrip(tmp_path):
+    """export-caffemodel -> import-caffemodel -> checkpoint -> identical
+    depth maps: the whole released-weights entry path as one CLI flow."""
+    from depthvo_tpu import cli, configs
+    from depthvo_tpu.api import DepthVO
+    from depthvo_tpu.io.export_weights import export_caffemodel
+
+    cfg = configs.tiny_test()
+    model = DepthVO.from_random(cfg, seed=3)
+    cm = tmp_path / "depth.caffemodel"
+    export_caffemodel(
+        model.params["depth"], batch_stats=model.batch_stats, path=str(cm)
+    )
+    ck = tmp_path / "ck"
+    rc = cli.main([
+        "import-caffemodel", "--variant", "tiny_test",
+        "--caffemodel", str(cm), "--net", "depth",
+        "--checkpoint-dir", str(ck),
+    ])
+    assert rc == 0
+    import argparse
+
+    loaded = cli._load_model(
+        argparse.Namespace(checkpoint_dir=str(ck), variant="tiny_test",
+                           height=None, width=None, batch_size=4)
+    )
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 256, size=(2, 32, 96, 3), dtype=np.uint8)
+    np.testing.assert_allclose(
+        loaded.depth(x), model.depth(x), rtol=1e-5, atol=1e-6
+    )
