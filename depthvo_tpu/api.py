@@ -20,6 +20,7 @@ normalization matches the loader's ``x / 127.5 - 1`` to 1 ulp).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict
 
 import jax
@@ -107,7 +108,18 @@ class DepthVO:
     def from_checkpoint(cls, directory: str, config: ExperimentConfig | None = None) -> "DepthVO":
         from depthvo_tpu.io import checkpoint as ckpt_io
 
-        config = config or full_feat()
+        if config is None:
+            # The train loop / import-caffemodel save the experiment
+            # config next to the weights; prefer it so a checkpoint of
+            # ANY variant/resolution restores correctly without the
+            # caller re-specifying the architecture.
+            cfg_path = os.path.join(directory, "config.json")
+            if os.path.isfile(cfg_path):
+                from depthvo_tpu.configs import base as config_io
+
+                config = config_io.load_json(cfg_path)
+            else:
+                config = full_feat()
         state = create_state(config, jax.random.PRNGKey(0))
         state = ckpt_io.restore_weights(directory, state)
         return cls(config, state.params, state.batch_stats)

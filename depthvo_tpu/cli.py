@@ -197,6 +197,7 @@ def cmd_eval_depth(args) -> int:
         save_preds_dir=args.save_preds,
         model=model,
         num_devices=args.num_devices,
+        median_scale=not args.no_median_scale,
     )
     print(json.dumps(metrics, indent=2))
     return 0
@@ -606,6 +607,9 @@ def main(argv=None) -> int:
     p.add_argument("--max-depth", type=float, default=80.0)
     p.add_argument("--save-preds", default=None,
                    help="also write raw depth predictions (.npy) here")
+    p.add_argument("--no-median-scale", action="store_true",
+                   help="report unscaled metrics (stereo-trained models "
+                        "are metric; the reference's protocol for them)")
     p.set_defaults(fn=cmd_eval_depth)
 
     p = sub.add_parser("eval-odom", help="KITTI odometry seq eval (t_err/r_err/ATE)")

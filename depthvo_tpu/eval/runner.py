@@ -164,6 +164,7 @@ def run_depth_eval(
     save_preds_dir: str | None = None,
     model: DepthVO | None = None,
     num_devices: int | None = None,
+    median_scale: bool = True,
 ) -> Dict[str, float]:
     """Eigen-split depth benchmark: read test frames + gt depth npz/npy,
     run batched inference, resize to gt, compute the metric table.
@@ -255,12 +256,18 @@ def run_depth_eval(
             "published Eigen-697 tables",
             stacklevel=2,
         )
-    metrics = compute_depth_metrics(preds_resized, gts, max_depth=max_depth)
+    metrics = compute_depth_metrics(
+        preds_resized, gts, max_depth=max_depth, median_scale=median_scale
+    )
     metrics["split"] = {
         "split_file": os.path.abspath(split_file),
         "n_frames": n,
         "canonical": canonical,
         "source": split_source,
+        # Stereo-trained models are metric-scaled by construction and the
+        # reference reports them UNSCALED; monocular protocols median-
+        # scale. Record which one produced these numbers.
+        "median_scale": median_scale,
     }
     return metrics
 

@@ -54,6 +54,37 @@ def test_run_depth_eval_end_to_end(eigen_tree):
     # Split provenance rides the result (VERDICT r2 item 9).
     assert metrics["split"]["n_frames"] == 3
     assert metrics["split"]["canonical"] is False
+    assert metrics["split"]["median_scale"] is True
+
+
+def test_run_depth_eval_unscaled_differs(eigen_tree):
+    """--no-median-scale (the reference's protocol for stereo-trained,
+    metric-scale models) produces genuinely unscaled metrics."""
+    root, split = eigen_tree
+    with pytest.warns(UserWarning, match="NON-CANONICAL"):
+        unscaled = run_depth_eval(
+            checkpoint_dir=None,
+            kitti_root=root,
+            split_file=split,
+            height=32,
+            width=96,
+            batch_size=2,
+            median_scale=False,
+        )
+    assert unscaled["split"]["median_scale"] is False
+    with pytest.warns(UserWarning, match="NON-CANONICAL"):
+        scaled = run_depth_eval(
+            checkpoint_dir=None,
+            kitti_root=root,
+            split_file=split,
+            height=32,
+            width=96,
+            batch_size=2,
+            median_scale=True,
+        )
+    # Random weights are nowhere near metric scale, so the two protocols
+    # must disagree (guards the flag actually reaching the metric pass).
+    assert abs(unscaled["abs_rel"] - scaled["abs_rel"]) > 1e-3
 
 
 def test_predict_depths_postprocess_ordered_and_equivalent():

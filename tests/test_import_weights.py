@@ -507,14 +507,27 @@ def test_cli_import_caffemodel_roundtrip(tmp_path):
         "--checkpoint-dir", str(ck),
     ])
     assert rc == 0
-    import argparse
-
-    loaded = cli._load_model(
-        argparse.Namespace(checkpoint_dir=str(ck), variant="tiny_test",
-                           height=None, width=None, batch_size=4)
-    )
+    # No config passed: from_checkpoint must pick up the tiny_test
+    # config.json the import wrote (not silently assume full_feat).
+    loaded = DepthVO.from_checkpoint(str(ck))
     rng = np.random.default_rng(11)
     x = rng.integers(0, 256, size=(2, 32, 96, 3), dtype=np.uint8)
     np.testing.assert_allclose(
         loaded.depth(x), model.depth(x), rtol=1e-5, atol=1e-6
     )
+
+
+def test_input_conv_autodetect_on_real_depth_net():
+    """_first_input_conv/_sibling_bn find the DepthNet stem (what
+    import-caffemodel --input-mean relies on without --input-conv)."""
+    import jax as _jax
+
+    from depthvo_tpu import configs
+    from depthvo_tpu.train.state import create_state
+
+    cfg = configs.tiny_test()
+    state = create_state(cfg, _jax.random.PRNGKey(0))
+    conv = import_weights._first_input_conv(state.params["depth"])
+    assert conv == "ConvBlock_0.Conv_0"
+    bn = import_weights._sibling_bn(state.batch_stats, conv)
+    assert bn == "ConvBlock_0.BatchNorm_0"
