@@ -101,9 +101,10 @@ def cmd_train(args) -> int:
         cfg = dataclasses.replace(cfg, batch_size=new_bs)
 
     # Batches ship as raw uint8 (4x fewer host->device bytes; the train
-    # step normalizes on-device) unless the C++ prefetch ring — which
-    # emits normalized float32 — was explicitly requested.
-    use_u8 = not bool(args.native_ring)
+    # step normalizes on-device). The C++ prefetch ring emits uint8 too,
+    # so --native-ring composes with the smaller uplink — the production
+    # configuration (benchmarks/host_pipeline.py).
+    use_u8 = True
     if args.train_list:
         from depthvo_tpu.data.kitti import load_train_list
 

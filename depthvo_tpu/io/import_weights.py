@@ -77,10 +77,17 @@ def import_by_shape_order(
             if name in used:
                 continue
             w = layer["blobs"][0]
+            # Only a conv consuming raw frames (3 stacked-RGB channels,
+            # or 6 for two-frame inputs) can be the BGR input conv; an
+            # interior kernel arriving first in file order must never be
+            # channel-scrambled by the heuristic.
+            is_input_conv = w.ndim == 4 and w.shape[1] in (3, 6)
             if w.ndim == 4:
                 conv = caffemodel.conv_params(
                     layer,
-                    flip_bgr=flip_bgr_first_conv and not first_conv_seen,
+                    flip_bgr=flip_bgr_first_conv
+                    and not first_conv_seen
+                    and is_input_conv,
                 )
             else:
                 conv = caffemodel.conv_params(layer)
@@ -88,7 +95,7 @@ def import_by_shape_order(
                 continue
             leaves[path] = conv["kernel"]
             report[".".join(path)] = name
-            if w.ndim == 4:
+            if is_input_conv:
                 first_conv_seen = True
             bias_path = path[:-1] + ("bias",)
             if "bias" in conv and bias_path in leaves:
@@ -169,13 +176,17 @@ def import_by_name(
     if bgr_layers is not None:
         flip_set = set(bgr_layers)
     elif flip_bgr_first_conv:
-        # The FIRST 4-d conv in file order is the input conv and gets the
-        # BGR flip. If it is in the map, flip it here; if not, leave the
-        # set empty so the shape-order fallback flips it when consumed.
+        # The first 4-d conv in file order that CONSUMES RAW FRAMES
+        # (3/6 input channels) is the input conv and gets the BGR flip.
+        # The channel check matters in the very situation this function
+        # exists for — untrusted file order: an interior conv serialized
+        # first must not be channel-scrambled. If the input conv is in
+        # the map, flip it here; if not, leave the set empty so the
+        # shape-order fallback flips it when consumed.
         flip_set = set()
         for name in file_order:
             blobs = layers[name]["blobs"]
-            if blobs and blobs[0].ndim == 4:
+            if blobs and blobs[0].ndim == 4 and blobs[0].shape[1] in (3, 6):
                 if name in name_map:
                     flip_set = {name}
                 break
@@ -240,7 +251,13 @@ def import_by_name(
             and layers[n]["blobs"]
             and layers[n]["blobs"][0].ndim in (2, 4)
         ]
-        first_conv_pending = flip_bgr_first_conv and not flip_set
+        # The heuristic flip only applies when the caller did NOT pass an
+        # explicit bgr_layers set; with one, membership decides for the
+        # fallback too (an explicitly-listed layer left out of name_map
+        # must still flip, and bgr_layers=[] means flip NOTHING).
+        first_conv_pending = (
+            flip_bgr_first_conv and bgr_layers is None and not flip_set
+        )
         for key in [p for p, _ in flat if p[-1] == "kernel"]:
             dotted = ".".join(key)
             if dotted in report:
@@ -250,14 +267,17 @@ def import_by_name(
                 if n in used:
                     continue
                 w = layer["blobs"][0]
-                conv = caffemodel.conv_params(
-                    layer, flip_bgr=first_conv_pending and w.ndim == 4
-                )
+                is_input_conv = w.ndim == 4 and w.shape[1] in (3, 6)
+                if bgr_layers is not None:
+                    flip = n in flip_set and w.ndim == 4
+                else:
+                    flip = first_conv_pending and is_input_conv
+                conv = caffemodel.conv_params(layer, flip_bgr=flip)
                 if conv["kernel"].shape != tuple(want):
                     continue
                 leaves[key] = conv["kernel"]
                 report[dotted] = {"layer": n, "via": "shape"}
-                if w.ndim == 4:
+                if is_input_conv:
                     first_conv_pending = False
                 bias_key = key[:-1] + ("bias",)
                 if (
@@ -356,6 +376,14 @@ def import_bn_by_name(
             k = s_index.get(module_path + "." + stat)
             if k is not None:
                 s_leaves[k] = folded["batch_stats"][stat]
+            else:
+                # A params-only hit with no running stats means the
+                # caller passed the wrong batch_stats tree — gamma/beta
+                # would import while mean/var silently stayed at init.
+                problems.append(
+                    f"BN target {module_path!r} has no .{stat} in "
+                    "batch_stats"
+                )
         report[module_path] = {"layer": caffe_name, "via": "name"}
 
     if strict and problems:
@@ -634,6 +662,17 @@ def import_net(
                 layers, params, batch_stats, bn_name_map, strict=strict
             )
         else:
+            if name_map:
+                import warnings
+
+                warnings.warn(
+                    "import_net: conv kernels were placed by NAME but "
+                    "BatchNorm layers fall back to FILE-ORDER matching — "
+                    "identically-shaped BN layers in a permuted release "
+                    "mis-seat silently. Pass bn_name_map ('bns' in the "
+                    "map JSON) for a trustworthy import.",
+                    stacklevel=2,
+                )
             params, batch_stats, rep = import_bn_by_order(
                 layers, params, batch_stats
             )

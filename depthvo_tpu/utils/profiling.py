@@ -16,6 +16,26 @@ import jax
 import numpy as np
 
 
+# Per-chip bf16 peak (dense TFLOP/s) by device kind, for MFU reporting.
+# Longest prefix wins ("TPU v5" must not shadow "TPU v5 lite"). Unknown
+# kinds report no MFU rather than a number against the wrong peak.
+_TPU_BF16_PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5": 459.0,  # v5p
+    "TPU v6 lite": 918.0,  # v6e / Trillium
+}
+
+
+def _bf16_peak_tflops(device_kind: str) -> float | None:
+    best = None
+    for prefix, peak in _TPU_BF16_PEAK_TFLOPS.items():
+        if device_kind.startswith(prefix):
+            if best is None or len(prefix) > len(best[0]):
+                best = (prefix, peak)
+    return best[1] if best else None
+
+
 def _force_sync(out: Any) -> None:
     """Guarantee device completion: fetch one leaf to host.
 
@@ -342,9 +362,14 @@ def run_benchmark(
         # basis of the training-MFU number (SURVEY.md §6: the perf bar
         # is per-chip throughput; MFU is its honest form). Computed
         # BEFORE timing: donation invalidates the state buffers after
-        # the first call. Also pre-warms the compile cache.
+        # the first call. The AOT executable is then USED for the timed
+        # calls — the jit dispatch cache does not share it, so calling
+        # step_fn afterwards would trace+compile the program a second
+        # time.
+        call_fn = step_fn
         try:
-            cost = step_fn.lower(state, batch).compile().cost_analysis()
+            compiled = step_fn.lower(state, batch).compile()
+            cost = compiled.cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
             flops = float(cost.get("flops", 0.0))
@@ -354,6 +379,7 @@ def run_benchmark(
                 # ~1x the straight-line step's flops, not ~8x), so the
                 # scanned program's total already IS per-step flops.
                 extra["flops_per_step"] = flops
+            call_fn = compiled
         except Exception:  # cost analysis is best-effort per backend
             pass
 
@@ -361,7 +387,7 @@ def run_benchmark(
         holder = {"state": state}
 
         def fn():
-            holder["state"], metrics = step_fn(holder["state"], batch)
+            holder["state"], metrics = call_fn(holder["state"], batch)
             return metrics
     elif mode == "warp":
         from depthvo_tpu.ops import fused_warp
@@ -389,10 +415,14 @@ def run_benchmark(
         for k in ("mean_s", "median_s", "min_s", "p95_s"):
             stats[k] = stats[k] / stats_scale
     if "flops_per_step" in extra and jax.default_backend() == "tpu":
-        # v5e peak: 197 TFLOP/s bf16 per chip.
-        extra["mfu"] = round(
-            extra["flops_per_step"] / stats["median_s"] / 197e12, 4
-        )
+        peak = _bf16_peak_tflops(jax.devices()[0].device_kind)
+        if peak is not None:
+            extra["mfu"] = round(
+                extra["flops_per_step"] / stats["median_s"] / (peak * 1e12), 4
+            )
+            # Record the denominator so the number can never be read
+            # against the wrong generation's peak.
+            extra["bf16_peak_tflops_assumed"] = peak
     frames_per_sec = batch_size / stats["median_s"]
     return {
         "mode": mode,

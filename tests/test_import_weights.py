@@ -531,3 +531,125 @@ def test_input_conv_autodetect_on_real_depth_net():
     assert conv == "ConvBlock_0.Conv_0"
     bn = import_weights._sibling_bn(state.batch_stats, conv)
     assert bn == "ConvBlock_0.BatchNorm_0"
+
+
+class TestBgrFlipRobustness:
+    """Code-review r3: the BGR-flip heuristic must key on 'consumes raw
+    frames' (3/6 input channels), not 'first 4-d conv in file order' —
+    untrusted file order is the whole reason import_by_name exists."""
+
+    def _make_interior_first(self, rng):
+        w1 = rng.normal(size=(8, 3, 3, 3)).astype(np.float32)
+        b1 = rng.normal(size=(8,)).astype(np.float32)
+        w2a = rng.normal(size=(8, 8, 3, 3)).astype(np.float32)
+        b2a = rng.normal(size=(8,)).astype(np.float32)
+        w2b = rng.normal(size=(8, 8, 3, 3)).astype(np.float32)
+        b2b = rng.normal(size=(8,)).astype(np.float32)
+        # An INTERIOR conv serialized before the input conv.
+        raw = encode_net([
+            ("res2a_branch2b", "Convolution", [w2b, b2b]),
+            ("conv1", "Convolution", [w1, b1]),
+            ("res2a_branch2a", "Convolution", [w2a, b2a]),
+        ])
+        layers = caffemodel.parse_caffemodel(raw)
+        model = TwinNet()
+        x = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+        ref = _twin_reference(x, w1, b1, w2a, b2a, w2b, b2b)
+        return layers, model, params, x, ref
+
+    def test_interior_conv_first_in_file_not_scrambled(self, rng):
+        layers, model, params, x, ref = self._make_interior_first(rng)
+        name_map = {
+            "conv1": "Conv_0",
+            "res2a_branch2a": "Conv_1",
+            "res2a_branch2b": "Conv_2",
+        }
+        p, _ = import_weights.import_by_name(
+            layers, params, name_map, strict=True
+        )
+        got = np.asarray(model.apply({"params": p}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_bgr_layers_respected_in_fallback(self, rng):
+        """A layer explicitly listed in bgr_layers must flip even when
+        it is seated by the shape-order fallback, not the map."""
+        layers, model, params, x, ref = self._make_interior_first(rng)
+        name_map = {  # conv1 deliberately NOT mapped -> fallback seats it
+            "res2a_branch2a": "Conv_1",
+            "res2a_branch2b": "Conv_2",
+        }
+        p, report = import_weights.import_by_name(
+            layers, params, name_map, bgr_layers=["conv1"], strict=True
+        )
+        assert report["Conv_0.kernel"]["via"] == "shape"
+        got = np.asarray(model.apply({"params": p}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_empty_bgr_layers_flips_nothing(self, rng):
+        layers, model, params, x, ref = self._make_interior_first(rng)
+        name_map = {"res2a_branch2a": "Conv_1", "res2a_branch2b": "Conv_2"}
+        p_none, _ = import_weights.import_by_name(
+            layers, params, name_map, bgr_layers=[], strict=True
+        )
+        p_off, _ = import_weights.import_by_name(
+            layers, params, name_map, flip_bgr_first_conv=False, strict=True
+        )
+        for a, b in zip(jax.tree.leaves(p_none), jax.tree.leaves(p_off)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_import_net_warns_on_bn_order_fallback_after_named_convs(
+        self, rng
+    ):
+        c = 6
+        layers = caffemodel.parse_caffemodel(encode_net([
+            ("conv1", "Convolution", [rng.normal(size=(c, 3, 3, 3)).astype(np.float32)]),
+            ("bn_conv1", "BatchNorm",
+             [rng.normal(size=(c,)).astype(np.float32),
+              (np.abs(rng.normal(size=(c,))) + 0.5).astype(np.float32),
+              np.ones((1,), np.float32)]),
+            ("scale_conv1", "Scale",
+             [rng.normal(size=(c,)).astype(np.float32),
+              rng.normal(size=(c,)).astype(np.float32)]),
+        ]))
+        model = BNNet()
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+        with pytest.warns(UserWarning, match="FILE-ORDER"):
+            import_weights.import_net(
+                layers,
+                variables["params"],
+                variables["batch_stats"],
+                name_map={"conv1": "Conv_0"},
+            )
+
+    def test_bn_by_name_strict_on_missing_stats_tree(self, rng):
+        c = 6
+        layers = caffemodel.parse_caffemodel(encode_net([
+            ("bn_conv1", "BatchNorm",
+             [rng.normal(size=(c,)).astype(np.float32),
+              (np.abs(rng.normal(size=(c,))) + 0.5).astype(np.float32),
+              np.ones((1,), np.float32)]),
+            ("scale_conv1", "Scale",
+             [rng.normal(size=(c,)).astype(np.float32),
+              rng.normal(size=(c,)).astype(np.float32)]),
+        ]))
+        model = BNNet()
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+        with pytest.raises(ValueError, match="batch_stats"):
+            import_weights.import_bn_by_name(
+                layers,
+                variables["params"],
+                {},  # wrong tree: params hit, stats missing
+                {"bn_conv1": "BatchNorm_0"},
+            )
+
+
+def test_bf16_peak_table_prefix_resolution():
+    from depthvo_tpu.utils.profiling import _bf16_peak_tflops
+
+    assert _bf16_peak_tflops("TPU v5 lite") == 197.0
+    assert _bf16_peak_tflops("TPU v5") == 459.0
+    assert _bf16_peak_tflops("TPU v5p chip") == 459.0
+    assert _bf16_peak_tflops("TPU v4") == 275.0
+    assert _bf16_peak_tflops("TPU v6 lite") == 918.0
+    assert _bf16_peak_tflops("TPU v7x") is None
