@@ -222,6 +222,20 @@ def cmd_eval_odom(args) -> int:
     return 0
 
 
+def _save_depth_png(path: str, depth: np.ndarray) -> None:
+    """Colormapped inverse-depth visualization (the reference README's
+    example-figure style: near = bright). Percentile-normalized per
+    image; magma colormap via matplotlib (already an eval dependency)."""
+    from matplotlib import cm
+    from PIL import Image
+
+    inv = 1.0 / np.maximum(depth.astype(np.float64), 1e-6)
+    lo, hi = np.percentile(inv, [2.0, 98.0])
+    norm = np.clip((inv - lo) / max(hi - lo, 1e-9), 0.0, 1.0)
+    rgba = cm.magma(norm)
+    Image.fromarray((rgba[..., :3] * 255).astype(np.uint8)).save(path)
+
+
 def cmd_infer(args) -> int:
     """Batched depth inference over a directory of frames.
 
@@ -261,11 +275,12 @@ def cmd_infer(args) -> int:
     depths = predict_depths(model, frames, batch_size=bs)
     dt = time.perf_counter() - t0
     for path, depth in zip(paths, depths):
-        out = os.path.join(
-            args.output_dir,
-            os.path.splitext(os.path.basename(path))[0] + "_depth.npy",
+        stem = os.path.join(
+            args.output_dir, os.path.splitext(os.path.basename(path))[0]
         )
-        np.save(out, depth)
+        np.save(stem + "_depth.npy", depth)
+        if args.save_png:
+            _save_depth_png(stem + "_depth.png", depth)
     print(
         f"{len(paths)} frames -> {args.output_dir} "
         f"({len(paths) / max(dt, 1e-9):.1f} frames/s steady; "
@@ -624,6 +639,9 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--images", required=True)
     p.add_argument("--output-dir", default="./depth_out")
+    p.add_argument("--save-png", action="store_true",
+                   help="also write colormapped inverse-depth PNGs "
+                        "(reference README figure style)")
     # Inference amortizes over bigger batches than training's default.
     p.set_defaults(fn=cmd_infer, batch_size=16)
 

@@ -123,11 +123,15 @@ def test_cli_infer_batched(tmp_path):
     out_dir = tmp_path / "depths"
     rc = cli.main([
         "infer", "--variant", "tiny_test", "--images", str(img_dir),
-        "--output-dir", str(out_dir), "--batch-size", "2",
+        "--output-dir", str(out_dir), "--batch-size", "2", "--save-png",
     ])
     assert rc == 0
     outs = sorted(out_dir.glob("*_depth.npy"))
     assert len(outs) == 5
+    pngs = sorted(out_dir.glob("*_depth.png"))
+    assert len(pngs) == 5
+    vis = np.asarray(Image.open(pngs[0]))
+    assert vis.shape == (32, 96, 3) and vis.max() > vis.min()
     d0 = np.load(outs[0])
     assert d0.shape == (32, 96)
     assert np.isfinite(d0).all() and (d0 > 0).all()
