@@ -128,7 +128,7 @@ def _train_config(variant: str, config_id: int, batch_size: int = 4,
     }
     # Training MFU from XLA cost analysis (profiling.run_benchmark):
     # the honest per-chip throughput form (SURVEY.md §6).
-    for k in ("flops_per_step", "mfu"):
+    for k in ("flops_per_step", "mfu", "bf16_peak_tflops_assumed"):
         if k in r:
             detail[k] = r[k]
     if scan:

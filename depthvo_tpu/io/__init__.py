@@ -4,7 +4,14 @@
   opt_state, step}; the rebuild of Caffe's ``Solver::Snapshot`` /
   ``--snapshot`` resume / ``--weights`` staged-finetune init
   (SURVEY.md §5 "Checkpoint / resume").
-* ``caffemodel``       — one-way importer for released ``.caffemodel``
-  files (protobuf wire-format parser, no Caffe/protoc dependency) for the
-  fidelity gate (SURVEY.md §2b(ii): the caffe.proto schema's role).
+* ``caffemodel``       — ``.caffemodel`` wire-format parser AND encoder
+  (no Caffe/protoc dependency) for the fidelity gate (SURVEY.md §2b(ii):
+  the caffe.proto schema's role), with OIHW→HWIO / BGR / BN+Scale
+  conversion helpers.
+* ``import_weights``   — places parsed layers into flax trees: by
+  explicit ``name_map`` (strict report) or shape-order; folds the data
+  layer's mean/scale into the input conv (``fold_input_transform``);
+  ``import_net`` chains it all (CLI: ``import-caffemodel``).
+* ``export_weights``   — writes model-zoo ``.caffemodel`` files back
+  (CLI: ``export-caffemodel``); round-trip exact against the importer.
 """
