@@ -161,7 +161,9 @@ def cmd_train(args) -> int:
 
     from depthvo_tpu.utils.logging import MetricLogger
 
-    log = MetricLogger(jsonl_path=args.log_jsonl)
+    log = MetricLogger(
+        jsonl_path=args.log_jsonl, tensorboard_dir=args.tensorboard
+    )
     try:
         train_loop.fit(
             cfg, it, args.steps, mesh=mesh,
@@ -609,6 +611,8 @@ def main(argv=None) -> int:
                    help="abort on the first non-finite value (diagnostics)")
     p.add_argument("--log-jsonl", default=None,
                    help="also append per-step metrics as JSONL here")
+    p.add_argument("--tensorboard", default=None,
+                   help="also write TensorBoard scalar events here")
     p.add_argument("--native-ring", default=None,
                    type=lambda s: s.lower() in ("1", "true", "yes"),
                    help="force the C++ prefetch ring on/off (default: auto)")

@@ -197,3 +197,28 @@ class TestStereoDmax:
         interior = np.asarray(valid_derived)[:, :-1, 200:]  # in-bounds cols
         assert interior.all()
         assert not np.asarray(valid_128)[:, :-1, 200:].any()
+
+
+def test_metric_logger_tensorboard(tmp_path):
+    """--tensorboard writes standard tfevents scalars readable back with
+    the tensorboard event reader (SURVEY.md §5 metrics/logging row)."""
+    import io
+
+    from depthvo_tpu.utils.logging import MetricLogger
+
+    tb_dir = str(tmp_path / "tb")
+    log = MetricLogger(stream=io.StringIO(), tensorboard_dir=tb_dir)
+    log(0, {"loss/total": 1.5, "loss/stereo": 0.5})
+    log(1, {"loss/total": 1.0, "loss/stereo": 0.25})
+    log.close()
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(tb_dir)
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert {"loss/total", "loss/stereo"} <= tags
+    vals = [(e.step, e.value) for e in acc.Scalars("loss/total")]
+    assert vals == [(0, 1.5), (1, 1.0)]
