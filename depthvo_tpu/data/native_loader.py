@@ -29,6 +29,16 @@ _lib = None
 
 
 def _build_lib() -> str:
+    # Installed-package escape hatch: the pip package ships Python only;
+    # point DEPTHVO_NATIVE_LIB at a prebuilt libdvfdata.so when the
+    # checkout's native/ tree is not next to the package.
+    env_lib = os.environ.get("DEPTHVO_NATIVE_LIB")
+    if env_lib:
+        if not os.path.isfile(env_lib):
+            raise FileNotFoundError(
+                f"DEPTHVO_NATIVE_LIB={env_lib!r} does not exist"
+            )
+        return env_lib
     src = os.path.join(_NATIVE_DIR, "dataloader.cpp")
     if os.path.isfile(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src):
         return _LIB_PATH

@@ -279,3 +279,24 @@ class TestRingIterator:
                 np.testing.assert_allclose(b["image_r"][j], s["image_r"], atol=1e-6)
                 np.testing.assert_allclose(b["image_s"][j], s["image_s"], atol=1e-6)
         it.close()
+
+
+def test_env_var_lib_override(monkeypatch, tmp_path):
+    """DEPTHVO_NATIVE_LIB points an installed package at a prebuilt .so;
+    a bogus path fails loudly rather than silently rebuilding."""
+    from depthvo_tpu.data import native_loader
+
+    monkeypatch.setattr(native_loader, "_lib", None)
+    monkeypatch.setenv("DEPTHVO_NATIVE_LIB", str(tmp_path / "nope.so"))
+    with pytest.raises(FileNotFoundError, match="DEPTHVO_NATIVE_LIB"):
+        native_loader.load_library()
+    # Pointing at the real built library loads it.
+    built = os.path.join(
+        os.path.dirname(native_loader.__file__), "..", "..",
+        "native", "build", "libdvfdata.so",
+    )
+    if os.path.isfile(built):
+        monkeypatch.setenv("DEPTHVO_NATIVE_LIB", built)
+        monkeypatch.setattr(native_loader, "_lib", None)
+        assert native_loader.load_library() is not None
+    monkeypatch.setattr(native_loader, "_lib", None)
