@@ -325,6 +325,17 @@ def cmd_prep(args) -> int:
             if d.endswith("_sync")
         )
         print(f"discovered {len(drives)} drives")
+    if args.eigen_train:
+        # Split hygiene: training must never see the Eigen TEST scenes
+        # (SURVEY.md §3.4 — the reference trains on the Eigen train
+        # split; evaluating on scenes the model trained on silently
+        # inflates every depth metric).
+        from depthvo_tpu.data.eigen import EIGEN_TEST_SCENES
+
+        before = len(drives)
+        drives = [d for d in drives if d not in EIGEN_TEST_SCENES]
+        print(f"--eigen-train: excluded {before - len(drives)} Eigen "
+              f"test-scene drives ({len(drives)} remain)")
     ds = KittiRawStereo(
         args.kitti_root, drives, args.height or 160, args.width or 608
     )
@@ -657,6 +668,9 @@ def main(argv=None) -> int:
                    help="KITTI odometry tree (overrides --kitti-root)")
     p.add_argument("--sequences", default="00,01,02,03,04,05,06,07,08")
     p.add_argument("--output", default="train_list.txt")
+    p.add_argument("--eigen-train", action="store_true",
+                   help="exclude the Eigen TEST scenes from discovered "
+                        "drives (train/test split hygiene)")
     p.set_defaults(fn=cmd_prep)
 
     p = sub.add_parser(

@@ -335,3 +335,33 @@ class TestNativeDecodePath:
             path = ds.samples[0][0]
             native = native_loader.load_resized(path, 16, 48)
             np.testing.assert_allclose(img, native, atol=1e-6)
+
+
+def test_prep_eigen_train_excludes_test_scenes(tmp_path):
+    """prep --eigen-train drops Eigen TEST scenes from discovered drives
+    (split hygiene: training must never see the eval scenes)."""
+    from depthvo_tpu import cli
+
+    root = str(tmp_path / "raw")
+    date = "2011_09_26"
+    drives = ("2011_09_26_drive_0001_sync",   # train scene
+              "2011_09_26_drive_0002_sync")   # Eigen TEST scene
+    for drive in drives:
+        for cam in ("image_02", "image_03"):
+            for i in range(3):
+                _write_png(
+                    os.path.join(root, date, drive, cam, "data",
+                                 f"{i:010d}.png"),
+                    seed=i,
+                )
+    P = "7.2e+02 0.0 6.0e+02 0.0 0.0 7.2e+02 1.8e+02 0.0 0.0 0.0 1.0 0.0"
+    with open(os.path.join(root, date, "calib_cam_to_cam.txt"), "w") as f:
+        f.write(f"P_rect_02: {P}\n")
+    out = str(tmp_path / "list.txt")
+    rc = cli.main([
+        "prep", "--kitti-root", root, "--height", "16", "--width", "48",
+        "--output", out, "--eigen-train",
+    ])
+    assert rc == 0
+    body = open(out).read()
+    assert "drive_0001" in body and "drive_0002" not in body
