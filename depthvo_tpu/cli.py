@@ -541,7 +541,7 @@ def cmd_device_query(args) -> int:
 def cmd_bench(args) -> int:
     from depthvo_tpu.utils.profiling import depth_layer_table, run_benchmark
 
-    if args.mode == "depth_layers":
+    if args.mode in ("depth_layers", "odom_layers"):
         from depthvo_tpu.utils.profiling import maybe_trace
 
         with maybe_trace(args.trace_dir):
@@ -551,6 +551,7 @@ def cmd_bench(args) -> int:
                 width=args.width or 608,
                 steps=args.steps,
                 variant=args.variant,
+                net=args.mode.split("_")[0],
             )
         print(f"{'layer':16s} {'forward':>10s} {'backward':>10s}"
               f" {'fwd cum':>10s} {'bwd cum':>10s}")
@@ -740,7 +741,8 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--mode", default="depth_infer",
                    choices=["depth_infer", "train_step", "train_step_scan",
-                            "odom_infer", "warp", "depth_layers"])
+                            "odom_infer", "warp", "depth_layers",
+                            "odom_layers"])
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace here")

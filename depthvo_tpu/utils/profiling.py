@@ -99,6 +99,13 @@ def depth_layer_order(num_scales: int, n_up: int = 5) -> list:
     return order
 
 
+def odom_layer_order(n_convs: int = 7, n_fc: int = 3) -> list:
+    """OdomNet top-level module boundaries in execution order."""
+    return [f"ConvBlock_{i}" for i in range(n_convs)] + [
+        f"Dense_{i}" for i in range(n_fc)
+    ]
+
+
 def depth_layer_table(
     batch_size: int = 128,
     height: int = 160,
@@ -107,9 +114,11 @@ def depth_layer_table(
     variant: str = "full_feat",
     include_backward: bool = True,
     layers: "list | None" = None,
+    net: str = "depth",
 ) -> Dict[str, Any]:
-    """Per-layer Forward AND Backward timing of DepthNet — the
-    ``caffe time`` analog (SURVEY.md §3.5: per-layer fwd/bwd table).
+    """Per-layer Forward AND Backward timing of DepthNet (``net="depth"``)
+    or OdomNet (``net="odom"``) — the ``caffe time`` analog
+    (SURVEY.md §3.5: per-layer fwd/bwd table).
 
     XLA compiles whole programs, so layers cannot be timed inside one
     run; instead each top-level module boundary is timed as its own
@@ -137,17 +146,31 @@ def depth_layer_table(
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, height=height, width=width)
     )
-    depth_net, _, _ = build_models(cfg)
+    depth_model, odom_model, _ = build_models(cfg)
     state = create_state(cfg, jax.random.PRNGKey(0))
-    variables = {
-        "params": state.params["depth"],
-        "batch_stats": state.batch_stats,
-    }
     rng = np.random.default_rng(0)
+    if net == "odom":
+        if "odom" not in state.params:
+            raise ValueError(f"variant {variant!r} has no odometry net")
+        the_net = odom_model
+        variables = {"params": state.params["odom"]}
+        in_ch = 6
+        order = odom_layer_order(
+            len(odom_model.conv_features), len(odom_model.fc_features) + 1
+        )
+    elif net == "depth":
+        the_net = depth_model
+        variables = {
+            "params": state.params["depth"],
+            "batch_stats": state.batch_stats,
+        }
+        in_ch = 3
+        order = depth_layer_order(cfg.model.num_scales)
+    else:
+        raise ValueError(f"unknown net {net!r} (want 'depth' or 'odom')")
     x = jnp.asarray(
-        rng.uniform(-1, 1, (batch_size, height, width, 3)), jnp.float32
+        rng.uniform(-1, 1, (batch_size, height, width, in_ch)), jnp.float32
     )
-    order = depth_layer_order(cfg.model.num_scales)
     if layers is not None:
         # Restrict to a boundary subset (each boundary costs 1-2 fresh
         # XLA compiles; CI times a prefix of the table, PERF.md the whole).
@@ -163,7 +186,7 @@ def depth_layer_table(
         @jax.jit
         def prefix(variables, x):
             def body(c, _):
-                _, mods = depth_net.apply(
+                _, mods = the_net.apply(
                     variables,
                     x + c * 0.0,  # carry-dependent: no loop hoisting
                     train=False,
@@ -183,11 +206,8 @@ def depth_layer_table(
         def prefix_grad(variables, x):
             def body(c, _):
                 def loss_fn(params):
-                    _, mods = depth_net.apply(
-                        {
-                            "params": params,
-                            "batch_stats": variables["batch_stats"],
-                        },
+                    _, mods = the_net.apply(
+                        {**variables, "params": params},
                         x + c * 0.0,
                         train=False,
                         capture_intermediates=capture(boundary),
@@ -237,7 +257,7 @@ def depth_layer_table(
         rows.append(row)
         prev_f = cum_f
     return {
-        "mode": "depth_layers",
+        "mode": f"{net}_layers",
         "batch_size": batch_size,
         "height": height,
         "width": width,
@@ -316,7 +336,7 @@ def run_benchmark(
         @jax.jit
         def scan_fwd(params, batch_stats, images):
             def body(c, _):
-                d = depth_net.apply(
+                d = the_net.apply(
                     {"params": params["depth"], "batch_stats": batch_stats},
                     images + c * 0.0,
                     train=False,

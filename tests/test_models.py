@@ -156,3 +156,22 @@ def test_depth_layer_order_and_table():
     assert all(r["bwd_cumulative_ms"] >= 0 for r in rows)
     # Backward through the whole net costs something.
     assert rows[-1]["bwd_cumulative_ms"] > 0
+
+
+def test_odom_layer_table():
+    """bench --mode odom_layers: the per-layer table generalizes to the
+    odometry net (conv stack + FC head boundaries)."""
+    from depthvo_tpu.utils.profiling import depth_layer_table, odom_layer_order
+
+    order = odom_layer_order()
+    assert order[0] == "ConvBlock_0" and order[-1] == "Dense_2"
+    subset = ["ConvBlock_0", "ConvBlock_1", "Dense_2"]
+    result = depth_layer_table(
+        batch_size=1, height=32, width=96, steps=1, variant="tiny_test",
+        layers=subset, net="odom",
+    )
+    assert result["mode"] == "odom_layers"
+    rows = result["rows"]
+    assert [r["layer"] for r in rows] == subset
+    assert all(r["forward_ms"] >= 0 and r["backward_ms"] >= 0 for r in rows)
+    assert rows[-1]["fwd_cumulative_ms"] > 0
