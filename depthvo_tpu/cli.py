@@ -185,6 +185,61 @@ def _model_resolution(args, model) -> tuple:
     return h, w
 
 
+def cmd_test(args) -> int:
+    """`caffe test` analog: average the eval-mode LOSS graph over N
+    held-out batches from a checkpoint — no training, no metric suites
+    (those are `eval-depth`/`eval-odom`). Completes the reference CLI
+    quartet train/test/time/device_query (SURVEY.md §2b(ii))."""
+    import dataclasses
+
+    import jax
+
+    from depthvo_tpu.data.synthetic import SyntheticScenes
+    from depthvo_tpu.io import checkpoint as ckpt_io
+    from depthvo_tpu.parallel import mesh as pmesh
+    from depthvo_tpu.train import loop as train_loop
+    from depthvo_tpu.train.state import create_state
+
+    cfg = None
+    if args.checkpoint_dir:
+        cfg_path = os.path.join(args.checkpoint_dir, "config.json")
+        if os.path.isfile(cfg_path):
+            from depthvo_tpu.configs import base as config_io
+
+            cfg = config_io.load_json(cfg_path)
+    if cfg is None:
+        cfg = _make_config(args)
+    mesh = pmesh.make_mesh(args.num_devices)
+    if cfg.batch_size % mesh.size != 0:
+        new_bs = -(-cfg.batch_size // mesh.size) * mesh.size
+        cfg = dataclasses.replace(cfg, batch_size=new_bs)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    if args.checkpoint_dir:
+        state = ckpt_io.restore_weights(args.checkpoint_dir, state)
+    state = jax.device_put(state, pmesh.replicated(mesh))
+    if args.val_list:
+        from depthvo_tpu.data.kitti import load_train_list
+
+        ds = load_train_list(
+            args.kitti_root or ".", args.val_list,
+            cfg.model.height, cfg.model.width, u8=True,
+        )
+        it = ds.iterator(cfg.batch_size, shuffle=False)
+        print(f"test phase: {len(ds)} samples from {args.val_list}")
+    else:
+        it = SyntheticScenes(
+            cfg, seed=cfg.seed + 1_000_003, u8=True
+        ).iterator(cfg.batch_size)
+        print("test phase: held-out synthetic scenes "
+              "(pass --val-list for real data)")
+    eval_fn = train_loop.make_eval_step(cfg)
+    metrics = train_loop.run_validation(
+        eval_fn, state, it, args.iterations, mesh
+    )
+    print(json.dumps(metrics, indent=2))
+    return 0
+
+
 def cmd_eval_depth(args) -> int:
     from depthvo_tpu.eval.runner import run_depth_eval
 
@@ -629,6 +684,19 @@ def main(argv=None) -> int:
                    type=lambda s: s.lower() in ("1", "true", "yes"),
                    help="force the C++ prefetch ring on/off (default: auto)")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser(
+        "test",
+        help="average the loss over held-out batches (reference: caffe test)",
+    )
+    _add_common(p)
+    p.add_argument("--iterations", type=int, default=10,
+                   help="held-out batches to average (caffe test -iterations)")
+    p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--kitti-root", default=None)
+    p.add_argument("--val-list", default=None,
+                   help="held-out sample list (see `prep`)")
+    p.set_defaults(fn=cmd_test)
 
     p = sub.add_parser("eval-depth", help="Eigen-split depth metrics")
     _add_common(p)

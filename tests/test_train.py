@@ -389,3 +389,31 @@ def test_scan_step_shards_batch_axis_over_mesh():
     l8 = run(pmesh.make_mesh(8))
     l1 = run(pmesh.make_mesh(1))
     np.testing.assert_allclose(l8, l1, rtol=5e-4, atol=1e-6)
+
+
+def test_cli_test_subcommand(tmp_path, capsys):
+    """`cli test` (the caffe test analog) averages eval-mode loss terms
+    from a trained checkpoint over N held-out batches."""
+    import json as _json
+
+    from depthvo_tpu import cli
+
+    ck = str(tmp_path / "ck")
+    rc = cli.main([
+        "train", "--variant", "tiny_test", "--steps", "3",
+        "--checkpoint-dir", ck, "--num-devices", "2",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli.main([
+        "test", "--variant", "tiny_test", "--checkpoint-dir", ck,
+        "--iterations", "2", "--num-devices", "2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    body = out[out.index("{"):]
+    metrics = _json.loads(body)
+    assert "val/loss/total" in metrics
+    assert np.isfinite(metrics["val/loss/total"])
+    for term in ("val/loss/stereo", "val/loss/temporal", "val/loss/feature"):
+        assert term in metrics, term
