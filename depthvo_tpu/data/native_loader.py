@@ -115,6 +115,11 @@ def available() -> bool:
         load_library()
         return True
     except (OSError, subprocess.CalledProcessError):
+        # An EXPLICIT DEPTHVO_NATIVE_LIB must fail loudly — silently
+        # falling back to the Python pipeline would hide a typo'd path
+        # behind degraded throughput.
+        if os.environ.get("DEPTHVO_NATIVE_LIB"):
+            raise
         return False
 
 

@@ -29,14 +29,20 @@ class MetricLogger:
         tensorboard_dir: str | None = None,
     ):
         self.stream = stream or sys.stdout
-        self.jsonl = open(jsonl_path, "a") if jsonl_path else None
         self.tb = None
         if tensorboard_dir:
-            # torch (CPU) is a baked-in dependency; its SummaryWriter
-            # writes standard tfevents files without TensorFlow.
-            from torch.utils.tensorboard import SummaryWriter
-
+            try:
+                # torch's SummaryWriter writes standard tfevents files
+                # without TensorFlow; it is an OPTIONAL dependency
+                # (pyproject extra "tensorboard").
+                from torch.utils.tensorboard import SummaryWriter
+            except ModuleNotFoundError as e:
+                raise ModuleNotFoundError(
+                    "--tensorboard needs torch + tensorboard: "
+                    "pip install 'depthvo-tpu[tensorboard]'"
+                ) from e
             self.tb = SummaryWriter(tensorboard_dir)
+        self.jsonl = open(jsonl_path, "a") if jsonl_path else None
         self._t0 = time.time()
 
     def __call__(self, step: int, metrics: Dict[str, float]) -> None:
