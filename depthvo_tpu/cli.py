@@ -53,22 +53,28 @@ def _make_config(args):
     return cfg
 
 
+def _restore_or_make_config(args):
+    """The checkpoint's saved config.json wins over CLI defaults (it
+    records the trained architecture); else build from the CLI flags."""
+    if args.checkpoint_dir:
+        cfg_path = os.path.join(args.checkpoint_dir, "config.json")
+        if os.path.isfile(cfg_path):
+            from depthvo_tpu.configs import base as config_io
+
+            return config_io.load_json(cfg_path)
+    return _make_config(args)
+
+
 def _load_model(args):
     """Restore a DepthVO for eval/infer, preferring the config.json the
     train loop saved next to the checkpoint over CLI defaults."""
-    import os as _os
-
     from depthvo_tpu import api
 
     if not args.checkpoint_dir:
         return api.DepthVO.from_random(_make_config(args))
-    cfg = None
-    cfg_path = _os.path.join(args.checkpoint_dir, "config.json")
-    if _os.path.isfile(cfg_path):
-        from depthvo_tpu.configs import base as config_io
-
-        cfg = config_io.load_json(cfg_path)
-    return api.DepthVO.from_checkpoint(args.checkpoint_dir, cfg)
+    return api.DepthVO.from_checkpoint(
+        args.checkpoint_dir, _restore_or_make_config(args)
+    )
 
 
 def cmd_train(args) -> int:
@@ -92,8 +98,11 @@ def cmd_train(args) -> int:
     if args.init_feat_from:
         cfg = dataclasses.replace(cfg, init_feat_from=args.init_feat_from)
 
-    mesh = pmesh.make_mesh(args.num_devices)
-    print(f"mesh: {mesh.size} device(s) on axis 'data'; backend={jax.default_backend()}")
+    mesh = pmesh.make_mesh(
+        args.num_devices, num_slices=getattr(args, "num_slices", 1)
+    )
+    print(f"mesh: {mesh.size} device(s) as {dict(mesh.shape)}; "
+          f"backend={jax.default_backend()}")
     if cfg.batch_size % mesh.size != 0:
         new_bs = -(-cfg.batch_size // mesh.size) * mesh.size
         print(f"global batch {cfg.batch_size} not divisible by mesh {mesh.size}; "
@@ -200,18 +209,12 @@ def cmd_test(args) -> int:
     from depthvo_tpu.train import loop as train_loop
     from depthvo_tpu.train.state import create_state
 
-    cfg = None
-    if args.checkpoint_dir:
-        cfg_path = os.path.join(args.checkpoint_dir, "config.json")
-        if os.path.isfile(cfg_path):
-            from depthvo_tpu.configs import base as config_io
-
-            cfg = config_io.load_json(cfg_path)
-    if cfg is None:
-        cfg = _make_config(args)
+    cfg = _restore_or_make_config(args)
     mesh = pmesh.make_mesh(args.num_devices)
     if cfg.batch_size % mesh.size != 0:
         new_bs = -(-cfg.batch_size // mesh.size) * mesh.size
+        print(f"global batch {cfg.batch_size} not divisible by mesh "
+              f"{mesh.size}; rounding up to {new_bs}")
         cfg = dataclasses.replace(cfg, batch_size=new_bs)
     state = create_state(cfg, jax.random.PRNGKey(0))
     if args.checkpoint_dir:
@@ -596,7 +599,7 @@ def cmd_device_query(args) -> int:
 def cmd_bench(args) -> int:
     from depthvo_tpu.utils.profiling import depth_layer_table, run_benchmark
 
-    if args.mode in ("depth_layers", "odom_layers"):
+    if args.mode in ("depth_layers", "odom_layers", "feat_layers"):
         from depthvo_tpu.utils.profiling import maybe_trace
 
         with maybe_trace(args.trace_dir):
@@ -651,6 +654,9 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--num-slices", type=int, default=1,
+                   help="multi-slice DP: hierarchical (dcn, data) mesh; "
+                        "gradient reduce rides ICI within a slice, DCN across")
     p.add_argument("--kitti-root", default=None)
     p.add_argument("--drives", default="")
     p.add_argument("--kitti-odom-root", default=None,
@@ -810,7 +816,7 @@ def main(argv=None) -> int:
     p.add_argument("--mode", default="depth_infer",
                    choices=["depth_infer", "train_step", "train_step_scan",
                             "odom_infer", "warp", "depth_layers",
-                            "odom_layers"])
+                            "odom_layers", "feat_layers"])
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace here")

@@ -7,6 +7,15 @@ the train step with these shardings makes XLA emit a gradient all-reduce
 Caffe's P2PSync/NCCL tree all-reduce, but compiled into the step program
 (overlapped with backprop by the XLA scheduler, not a separate phase).
 
+Multi-slice deployments (``num_slices > 1``) get a 2-D hierarchical mesh
+with a leading ``dcn`` axis: the batch is sharded over BOTH axes and XLA
+lowers the gradient all-reduce hierarchically — reduce-scatter/all-gather
+over ICI within each slice, then the much smaller cross-slice hop over
+DCN. On real multi-slice hardware the device grid is laid out so the
+``dcn`` axis crosses slice boundaries (``mesh_utils
+.create_hybrid_device_mesh``); on single-slice or virtual-CPU backends a
+plain reshape gives the same program (the collectives just all ride ICI).
+
 The same code path runs on a single chip (mesh of 1), a v5e slice, or a
 virtual ``--xla_force_host_platform_device_count=N`` CPU mesh in tests.
 """
@@ -20,10 +29,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"
 
 
-def make_mesh(num_devices: int | None = None, devices: Sequence[Any] | None = None) -> Mesh:
-    """Build a 1-D data-parallel mesh over the first ``num_devices`` devices."""
+def make_mesh(
+    num_devices: int | None = None,
+    devices: Sequence[Any] | None = None,
+    num_slices: int = 1,
+) -> Mesh:
+    """Build the data-parallel mesh over the first ``num_devices`` devices.
+
+    ``num_slices=1`` (the default): a 1-D mesh with axis ``data``.
+    ``num_slices>1``: a 2-D ``(dcn, data)`` hierarchical mesh — rows are
+    slices, so the inner (fast, ICI) axis is ``data`` within a slice and
+    the outer axis crosses the DCN boundary. The sharding helpers below
+    split the batch over both axes, so the rest of the code is
+    mesh-rank-agnostic.
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
@@ -32,12 +54,44 @@ def make_mesh(num_devices: int | None = None, devices: Sequence[Any] | None = No
                 f"requested {num_devices} devices, have {len(devices)}"
             )
         devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    if num_slices <= 1:
+        return Mesh(np.asarray(devices), (DATA_AXIS,))
+    if len(devices) % num_slices:
+        raise ValueError(
+            f"{len(devices)} devices not divisible into {num_slices} slices"
+        )
+    per_slice = len(devices) // num_slices
+    grid = None
+    if all(getattr(d, "slice_index", None) is not None for d in devices):
+        # Real multi-slice hardware: let mesh_utils place the DCN axis
+        # across actual slice boundaries (ICI stays intra-slice).
+        try:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_hybrid_device_mesh(
+                (1, per_slice), (num_slices, 1), devices=devices
+            )
+        except (ImportError, ValueError, AssertionError):
+            grid = None
+    if grid is None:
+        # Virtual CPU mesh / single-slice backend: a reshape compiles the
+        # identical hierarchical program for dryrun validation.
+        grid = np.asarray(devices).reshape(num_slices, per_slice)
+    return Mesh(grid, (DCN_AXIS, DATA_AXIS))
+
+
+def _all_axes(mesh: Mesh):
+    """Every mesh axis, as a PartitionSpec entry (bare name for the 1-D
+    mesh, tuple for the hierarchical one — a 1-tuple is equivalent but
+    keeps specs ugly in dumps/tests)."""
+    names = tuple(mesh.axis_names)
+    return names if len(names) > 1 else names[0]
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for batched arrays: leading axis split over ``data``."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Sharding for batched arrays: leading axis split over every mesh
+    axis (``data``, or ``(dcn, data)`` on a hierarchical mesh)."""
+    return NamedSharding(mesh, P(_all_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -64,7 +118,7 @@ def shard_stacked_batch(batch: Any, mesh: Mesh) -> Any:
     mesh with the PER-STEP batch axis (axis 1) sharded over ``data`` —
     sharding axis 0 would split the scan axis instead and silently lose
     data parallelism. Leaves without a shardable axis 1 are replicated."""
-    data = NamedSharding(mesh, P(None, DATA_AXIS))
+    data = NamedSharding(mesh, P(None, _all_axes(mesh)))
     repl = replicated(mesh)
 
     def put(x):

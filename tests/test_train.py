@@ -89,6 +89,32 @@ def test_multi_device_matches_single_device():
     np.testing.assert_allclose(results[0], results[1], rtol=1e-3)
 
 
+def test_hierarchical_mesh_matches_flat():
+    """Multi-slice DP: a (dcn=2, data=4) hierarchical mesh — batch sharded
+    over BOTH axes, hierarchical gradient reduce — computes the same step
+    as the flat 8-device mesh and as a single device."""
+    cfg = configs.tiny_test(batch_size=8)
+    scenes = SyntheticScenes(cfg, seed=7, num_scenes=4)
+    batch_np = scenes.batch(8)
+
+    def run(mesh):
+        state = create_state(cfg, jax.random.PRNGKey(0))
+        state = jax.device_put(state, pmesh.replicated(mesh))
+        step = train_loop.make_train_step(cfg, mesh)
+        batch = pmesh.shard_batch(batch_np, mesh)
+        assert len(batch["image_t"].sharding.device_set) == mesh.size
+        _, metrics = step(state, batch)
+        return float(metrics["loss/total"])
+
+    mesh2d = pmesh.make_mesh(8, num_slices=2)
+    assert dict(mesh2d.shape) == {"dcn": 2, "data": 4}
+    l2d = run(mesh2d)
+    l1d = run(pmesh.make_mesh(8))
+    l_single = run(pmesh.make_mesh(1))
+    np.testing.assert_allclose(l2d, l1d, rtol=1e-3)
+    np.testing.assert_allclose(l2d, l_single, rtol=1e-3)
+
+
 def test_checkpoint_save_resume_roundtrip(tmp_path):
     """Orbax resume: params/opt_state/step survive a round trip
     (reference: .solverstate resume, SURVEY.md §5)."""
