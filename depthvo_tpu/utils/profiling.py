@@ -106,6 +106,12 @@ def odom_layer_order(n_convs: int = 7, n_fc: int = 3) -> list:
     ]
 
 
+def feat_layer_order(n_convs: int = 3) -> list:
+    """FeatNet top-level module boundaries in execution order (dilated
+    conv blocks + the final projection conv)."""
+    return [f"ConvBlock_{i}" for i in range(n_convs)] + ["Conv_0"]
+
+
 def depth_layer_table(
     batch_size: int = 128,
     height: int = 160,
@@ -116,9 +122,9 @@ def depth_layer_table(
     layers: "list | None" = None,
     net: str = "depth",
 ) -> Dict[str, Any]:
-    """Per-layer Forward AND Backward timing of DepthNet (``net="depth"``)
-    or OdomNet (``net="odom"``) — the ``caffe time`` analog
-    (SURVEY.md §3.5: per-layer fwd/bwd table).
+    """Per-layer Forward AND Backward timing of DepthNet (``net="depth"``),
+    OdomNet (``net="odom"``), or FeatNet (``net="feat"``) — the
+    ``caffe time`` analog (SURVEY.md §3.5: per-layer fwd/bwd table).
 
     XLA compiles whole programs, so layers cannot be timed inside one
     run; instead each top-level module boundary is timed as its own
@@ -146,10 +152,17 @@ def depth_layer_table(
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, height=height, width=width)
     )
-    depth_model, odom_model, _ = build_models(cfg)
+    depth_model, odom_model, feat_model = build_models(cfg)
     state = create_state(cfg, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
-    if net == "odom":
+    if net == "feat":
+        if "feat" not in state.params:
+            raise ValueError(f"variant {variant!r} has no feature net")
+        the_net = feat_model
+        variables = {"params": state.params["feat"]}
+        in_ch = 3
+        order = feat_layer_order(len(feat_model.conv_features))
+    elif net == "odom":
         if "odom" not in state.params:
             raise ValueError(f"variant {variant!r} has no odometry net")
         the_net = odom_model
@@ -167,7 +180,9 @@ def depth_layer_table(
         in_ch = 3
         order = depth_layer_order(cfg.model.num_scales)
     else:
-        raise ValueError(f"unknown net {net!r} (want 'depth' or 'odom')")
+        raise ValueError(
+            f"unknown net {net!r} (want 'depth', 'odom', or 'feat')"
+        )
     x = jnp.asarray(
         rng.uniform(-1, 1, (batch_size, height, width, in_ch)), jnp.float32
     )
@@ -336,7 +351,7 @@ def run_benchmark(
         @jax.jit
         def scan_fwd(params, batch_stats, images):
             def body(c, _):
-                d = the_net.apply(
+                d = depth_net.apply(
                     {"params": params["depth"], "batch_stats": batch_stats},
                     images + c * 0.0,
                     train=False,

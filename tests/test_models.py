@@ -175,3 +175,22 @@ def test_odom_layer_table():
     assert [r["layer"] for r in rows] == subset
     assert all(r["forward_ms"] >= 0 and r["backward_ms"] >= 0 for r in rows)
     assert rows[-1]["fwd_cumulative_ms"] > 0
+
+
+def test_feat_layer_table():
+    """bench --mode feat_layers: the per-layer table also covers the
+    feature extractor (dilated conv blocks + projection conv)."""
+    from depthvo_tpu.utils.profiling import depth_layer_table, feat_layer_order
+
+    order = feat_layer_order()
+    assert order == ["ConvBlock_0", "ConvBlock_1", "ConvBlock_2", "Conv_0"]
+    subset = ["ConvBlock_0", "Conv_0"]
+    result = depth_layer_table(
+        batch_size=1, height=32, width=96, steps=1, variant="tiny_test",
+        layers=subset, net="feat",
+    )
+    assert result["mode"] == "feat_layers"
+    rows = result["rows"]
+    assert [r["layer"] for r in rows] == subset
+    assert all(r["forward_ms"] >= 0 and r["backward_ms"] >= 0 for r in rows)
+    assert rows[-1]["fwd_cumulative_ms"] > 0
