@@ -553,6 +553,56 @@ def cmd_import_caffemodel(args) -> int:
     return 0
 
 
+def cmd_zoo(args) -> int:
+    """Model-zoo table + automated fidelity-gate check (README model-zoo
+    analog, SURVEY.md §1 row 8; gate tolerance from BASELINE.md)."""
+    from depthvo_tpu import zoo
+
+    if args.check:
+        with open(args.check) as f:
+            measured = json.load(f)
+        report = zoo.check_parity(
+            measured, variant=args.variant_name, rtol=args.rtol
+        )
+        for row in report["rows"]:
+            if row["status"] == "missing":
+                print(f"{row['metric']:10s} MISSING from {args.check}")
+            else:
+                print(
+                    f"{row['metric']:10s} published={row['published']:<8g}"
+                    f" measured={row['measured']:<8g}"
+                    f" rel_err={row['rel_err']:.2%}  {row['status']}"
+                )
+        if "warning" in report:
+            print(f"WARNING: {report['warning']}")
+        print(json.dumps(report))
+        return 0 if report["parity"] else 1
+
+    for name, entry in zoo.ZOO.items():
+        mark = "~" if entry["approximate"] else " "
+        print(f"{name:14s}{mark} {entry['title']}")
+        print(f"{'':15s}nets: {', '.join(entry['nets'])}  "
+              f"(training stage {entry['stage']}, "
+              f"variant {entry['train_variant']})")
+        dm = entry["depth_metrics"]
+        if dm:
+            print(f"{'':15s}depth: " + "  ".join(
+                f"{k}={v:g}" for k, v in dm.items()))
+        om = entry["odom_metrics"]
+        if om:
+            for seq, m in om.items():
+                print(f"{'':15s}odom seq {seq}: "
+                      f"t_err={m['t_err_pct']}%  "
+                      f"r_err={m['r_err_deg_per_100m']}°/100m")
+        for cmd in zoo.import_commands(name):
+            print(f"{'':15s}$ {cmd}")
+    print("\n~ = approximate reference row ([M]/[L] in BASELINE.md; "
+          "check uses a widened tolerance)")
+    print("weights ship from the reference README's links (not "
+          "reachable/verifiable from this machine)")
+    return 0
+
+
 def cmd_device_query(args) -> int:
     """`caffe device_query` analog: enumerate accelerators + memory.
 
@@ -810,6 +860,19 @@ def main(argv=None) -> int:
         help="enumerate accelerators + HBM stats (reference: caffe device_query)",
     )
     p.set_defaults(fn=cmd_device_query)
+
+    p = sub.add_parser(
+        "zoo",
+        help="released-model table + fidelity-gate check (README model zoo)",
+    )
+    p.add_argument("--check", default=None,
+                   help="eval-depth JSON to compare against the zoo row")
+    p.add_argument("--variant-name", default="full_nyuv2",
+                   help="zoo row to list/check against")
+    p.add_argument("--rtol", type=float, default=None,
+                   help="override the gate tolerance (default: 1%% exact "
+                        "rows, 5%% approximate rows)")
+    p.set_defaults(fn=cmd_zoo)
 
     p = sub.add_parser("bench", help="throughput benchmark (reference: caffe time)")
     _add_common(p)

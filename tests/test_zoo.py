@@ -1,0 +1,100 @@
+"""Model-zoo manifest + automated fidelity-gate checker.
+
+Reference parity: the README model-zoo table (SURVEY.md §1 row 8) and
+the BASELINE.md "within 1%" gate, as a one-command comparison.
+"""
+
+import json
+
+import pytest
+
+from depthvo_tpu import zoo
+
+
+def _published():
+    return dict(zoo.ZOO["full_nyuv2"]["depth_metrics"])
+
+
+def test_parity_passes_within_one_percent():
+    measured = {k: v * 1.009 for k, v in _published().items()}
+    report = zoo.check_parity(measured, "full_nyuv2")
+    assert report["parity"]
+    assert all(r["status"] == "pass" for r in report["rows"])
+    assert report["rtol"] == zoo.PARITY_RTOL  # exact [H] row -> 1%
+
+
+def test_parity_fails_beyond_one_percent():
+    measured = _published()
+    measured["abs_rel"] *= 1.02
+    report = zoo.check_parity(measured, "full_nyuv2")
+    assert not report["parity"]
+    failed = [r for r in report["rows"] if r["status"] == "FAIL"]
+    assert [r["metric"] for r in failed] == ["abs_rel"]
+
+
+def test_approximate_row_widens_tolerance():
+    measured = {
+        k: v * 1.03 for k, v in zoo.ZOO["temporal"]["depth_metrics"].items()
+    }
+    report = zoo.check_parity(measured, "temporal")
+    assert report["rtol"] == zoo.APPROX_RTOL
+    assert report["parity"]  # 3% off passes the widened 5% gate
+
+
+def test_missing_metric_fails():
+    measured = _published()
+    del measured["rmse"]
+    report = zoo.check_parity(measured, "full_nyuv2")
+    assert not report["parity"]
+    assert any(r["status"] == "missing" for r in report["rows"])
+
+
+def test_non_canonical_split_poisons_parity():
+    """Split provenance from eval-depth output must gate the check: a
+    derived split's numbers are not comparable to the Eigen-697 table."""
+    measured = _published()
+    measured["split"] = {"canonical": False, "n_frames": 200}
+    report = zoo.check_parity(measured, "full_nyuv2")
+    assert not report["parity"]
+    assert "NON-CANONICAL" in report["warning"]
+
+
+def test_variant_without_published_metrics_raises():
+    with pytest.raises(ValueError, match="no published depth metrics"):
+        zoo.check_parity({}, "stereo")
+
+
+def test_import_commands_cover_every_net():
+    for name, entry in zoo.ZOO.items():
+        cmds = zoo.import_commands(name)
+        assert len(cmds) == len(entry["nets"])
+        for net, cmd in zip(entry["nets"], cmds):
+            assert f"--net {net}" in cmd
+            assert f"--variant {entry['train_variant']}" in cmd
+
+
+def test_cli_zoo_check_exit_codes(tmp_path, capsys):
+    from depthvo_tpu import cli
+
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps(_published()))
+    assert cli.main(["zoo", "--check", str(good)]) == 0
+    out = capsys.readouterr().out
+    assert "pass" in out and "FAIL" not in out
+
+    bad = tmp_path / "bad.json"
+    measured = _published()
+    measured["rmse"] *= 1.05
+    bad.write_text(json.dumps(measured))
+    assert cli.main(["zoo", "--check", str(bad)]) == 1
+    assert "FAIL" in capsys.readouterr().out
+
+
+def test_cli_zoo_lists_table(capsys):
+    from depthvo_tpu import cli
+
+    assert cli.main(["zoo"]) == 0
+    out = capsys.readouterr().out
+    for name in zoo.ZOO:
+        assert name in out
+    assert "import-caffemodel" in out
