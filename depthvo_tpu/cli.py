@@ -561,9 +561,16 @@ def cmd_zoo(args) -> int:
     if args.check:
         with open(args.check) as f:
             measured = json.load(f)
-        report = zoo.check_parity(
-            measured, variant=args.variant_name, rtol=args.rtol
-        )
+        if "t_err_pct" in measured:  # eval-odom output
+            report = zoo.check_odom_parity(
+                measured,
+                variant=args.variant_name,
+                **({"rtol": args.rtol} if args.rtol is not None else {}),
+            )
+        else:  # eval-depth output
+            report = zoo.check_parity(
+                measured, variant=args.variant_name, rtol=args.rtol
+            )
         for row in report["rows"]:
             if row["status"] == "missing":
                 print(f"{row['metric']:10s} MISSING from {args.check}")

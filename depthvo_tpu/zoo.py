@@ -143,6 +143,56 @@ def check_parity(
     return report
 
 
+def check_odom_parity(
+    measured: Dict[str, Any],
+    variant: str = "full_nyuv2",
+    rtol: float = APPROX_RTOL,
+) -> Dict[str, Any]:
+    """Compare measured eval-odom output (``cli eval-odom``: a dict with
+    ``sequence``, ``t_err_pct``, ``r_err_deg_per_100m``) against the zoo
+    row's published devkit numbers for that sequence.
+
+    Default tolerance is the widened one: the published odometry rows are
+    [M]-confidence (BASELINE.md) and devkit errors are themselves
+    trajectory-length-bucketed averages.
+    """
+    entry = ZOO[variant]
+    om = entry["odom_metrics"]
+    seq = str(measured.get("sequence", ""))
+    if not om or seq not in om:
+        raise ValueError(
+            f"zoo variant {variant!r} publishes no odometry metrics for "
+            f"sequence {seq!r} (has: {sorted(om) if om else 'none'})"
+        )
+    rows = []
+    ok = True
+    for name, ref in om[seq].items():
+        if name not in measured:
+            rows.append({"metric": name, "status": "missing"})
+            ok = False
+            continue
+        got = float(measured[name])
+        rel = abs(got - ref) / abs(ref)
+        passed = rel <= rtol
+        ok = ok and passed
+        rows.append(
+            {
+                "metric": name,
+                "published": ref,
+                "measured": round(got, 4),
+                "rel_err": round(rel, 4),
+                "status": "pass" if passed else "FAIL",
+            }
+        )
+    return {
+        "variant": variant,
+        "sequence": seq,
+        "rtol": rtol,
+        "rows": rows,
+        "parity": ok,
+    }
+
+
 def import_commands(variant: str) -> list:
     """The exact CLI invocations (one per net — ``import-caffemodel``
     seats one ``.caffemodel`` at a time) to turn the reference's released

@@ -90,6 +90,27 @@ def test_cli_zoo_check_exit_codes(tmp_path, capsys):
     assert "FAIL" in capsys.readouterr().out
 
 
+def test_odom_parity_check():
+    m = {"sequence": "09", "t_err_pct": 12.1, "r_err_deg_per_100m": 3.95}
+    report = zoo.check_odom_parity(m, "full_nyuv2")
+    assert report["parity"] and report["sequence"] == "09"
+    m["t_err_pct"] = 14.0  # >5% off the published 11.9
+    assert not zoo.check_odom_parity(m, "full_nyuv2")["parity"]
+    with pytest.raises(ValueError, match="no odometry metrics"):
+        zoo.check_odom_parity({"sequence": "05"}, "full_nyuv2")
+
+
+def test_cli_zoo_check_routes_odom_json(tmp_path, capsys):
+    from depthvo_tpu import cli
+
+    f = tmp_path / "odom.json"
+    f.write_text(json.dumps(
+        {"sequence": "10", "t_err_pct": 12.6, "r_err_deg_per_100m": 3.48}
+    ))
+    assert cli.main(["zoo", "--check", str(f)]) == 0
+    assert "t_err_pct" in capsys.readouterr().out
+
+
 def test_cli_zoo_lists_table(capsys):
     from depthvo_tpu import cli
 
