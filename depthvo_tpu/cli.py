@@ -41,6 +41,13 @@ def _make_config(args):
 
     from depthvo_tpu import configs
 
+    if getattr(args, "config", None):
+        # File-driven experiment config (the `caffe train --solver=<file>`
+        # analog): the JSON holds the WHOLE ExperimentConfig; the
+        # variant/size/batch flags are superseded by it.
+        from depthvo_tpu.configs import base as config_io
+
+        return config_io.load_json(args.config)
     factory = getattr(configs, args.variant)
     cfg = factory(batch_size=args.batch_size)
     height = args.height if args.height is not None else cfg.model.height
@@ -97,6 +104,10 @@ def cmd_train(args) -> int:
         cfg = dataclasses.replace(cfg, init_from=args.init_from)
     if args.init_feat_from:
         cfg = dataclasses.replace(cfg, init_feat_from=args.init_feat_from)
+    if args.iter_size > 1:
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(cfg.optim, iter_size=args.iter_size)
+        )
 
     mesh = pmesh.make_mesh(
         args.num_devices, num_slices=getattr(args, "num_slices", 1)
@@ -711,6 +722,13 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--config", default=None,
+                   help="experiment-config JSON (caffe train --solver "
+                        "analog); supersedes --variant/--height/--width/"
+                        "--batch-size")
+    p.add_argument("--iter-size", type=int, default=1,
+                   help="Caffe solver iter_size: accumulate gradients over "
+                        "k micro-batches per optimizer update")
     p.add_argument("--num-slices", type=int, default=1,
                    help="multi-slice DP: hierarchical (dcn, data) mesh; "
                         "gradient reduce rides ICI within a slice, DCN across")

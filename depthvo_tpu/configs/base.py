@@ -70,6 +70,13 @@ class OptimConfig:
     lr_decay_factor: float = 0.5
     total_steps: int = 200_000
     warmup_steps: int = 200
+    # Caffe solver `iter_size`: accumulate (average) gradients over this
+    # many micro-batches before applying one optimizer update — the
+    # effective batch is iter_size * batch_size with unchanged memory.
+    # Steps/`fit(steps)` count micro-batches; every iter_size-th one
+    # applies the update (BN running stats update every micro-batch,
+    # exactly like Caffe's per-forward BN).
+    iter_size: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

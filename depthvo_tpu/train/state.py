@@ -46,13 +46,19 @@ def make_optimizer(config: ExperimentConfig) -> optax.GradientTransformation:
         int(oc.lr_decay_steps * (i + 1)): oc.lr_decay_factor
         for i in range(max(0, oc.total_steps // max(1, oc.lr_decay_steps)))
     }
-    schedule = optax.join_schedules(
-        [
-            optax.linear_schedule(0.0, oc.learning_rate, max(1, oc.warmup_steps)),
-            optax.piecewise_constant_schedule(oc.learning_rate, boundaries),
-        ],
-        [max(1, oc.warmup_steps)],
-    )
+    decay = optax.piecewise_constant_schedule(oc.learning_rate, boundaries)
+    if oc.warmup_steps > 0:
+        schedule = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, oc.learning_rate, oc.warmup_steps),
+                decay,
+            ],
+            [oc.warmup_steps],
+        )
+    else:
+        # No warmup (the Caffe default): full lr from the very first
+        # update — a joined 1-step ramp would silently zero it.
+        schedule = decay
     if oc.optimizer == "adam":
         base = optax.adamw(
             schedule, b1=oc.beta1, b2=oc.beta2, weight_decay=oc.weight_decay
@@ -72,9 +78,18 @@ def make_optimizer(config: ExperimentConfig) -> optax.GradientTransformation:
             for k, v in params.items()
         }
 
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"train": tx, "freeze": optax.set_to_zero()}, label_fn
     )
+    if oc.iter_size > 1:
+        # Caffe solver `iter_size`: average grads over k micro-batches,
+        # update on the k-th (zero updates in between). Wrapping the
+        # WHOLE chain keeps clip/schedule semantics on the accumulated
+        # gradient, matching Caffe's normalize-then-update order.
+        tx = optax.MultiSteps(
+            tx, every_k_schedule=oc.iter_size
+        ).gradient_transformation()
+    return tx
 
 
 def build_models(config: ExperimentConfig):

@@ -70,6 +70,20 @@ class TestMakeConfig:
         cfg = _make_config(self._args())
         assert cfg == configs.full_feat(batch_size=4)
 
+    def test_config_file_supersedes_flags(self, tmp_path):
+        """`train --config file.json` (the caffe train --solver analog)
+        loads the WHOLE ExperimentConfig, ignoring variant/size flags."""
+        from depthvo_tpu.cli import _make_config
+
+        want = dataclasses.replace(
+            configs.tiny_test(batch_size=2), smooth_weight=0.123
+        )
+        path = str(tmp_path / "exp.json")
+        configs.save_json(want, path)
+        got = _make_config(self._args(config=path, variant="full_feat",
+                                      height=160, width=608, batch_size=4))
+        assert got == want
+
 
 class TestCheckpointConfigPlumbing:
     def test_fit_writes_config_and_cli_restores_it(self, tmp_path):
