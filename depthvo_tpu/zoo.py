@@ -84,6 +84,31 @@ PARITY_RTOL = 0.01
 APPROX_RTOL = 0.05
 
 
+def _compare_metrics(published: Dict[str, float], measured: Dict[str, Any], rtol: float):
+    """Per-metric relative comparison -> (rows, all_passed)."""
+    rows = []
+    ok = True
+    for name, ref in published.items():
+        if name not in measured:
+            rows.append({"metric": name, "status": "missing"})
+            ok = False
+            continue
+        got = float(measured[name])
+        rel = abs(got - ref) / abs(ref)
+        passed = rel <= rtol
+        ok = ok and passed
+        rows.append(
+            {
+                "metric": name,
+                "published": ref,
+                "measured": round(got, 4),
+                "rel_err": round(rel, 4),
+                "status": "pass" if passed else "FAIL",
+            }
+        )
+    return rows, ok
+
+
 def check_parity(
     measured: Dict[str, Any],
     variant: str = "full_nyuv2",
@@ -105,26 +130,7 @@ def check_parity(
         )
     if rtol is None:
         rtol = APPROX_RTOL if entry["approximate"] else PARITY_RTOL
-    rows = []
-    ok = True
-    for name, ref in published.items():
-        if name not in measured:
-            rows.append({"metric": name, "status": "missing"})
-            ok = False
-            continue
-        got = float(measured[name])
-        rel = abs(got - ref) / abs(ref)
-        passed = rel <= rtol
-        ok = ok and passed
-        rows.append(
-            {
-                "metric": name,
-                "published": ref,
-                "measured": round(got, 4),
-                "rel_err": round(rel, 4),
-                "status": "pass" if passed else "FAIL",
-            }
-        )
+    rows, ok = _compare_metrics(published, measured, rtol)
     report: Dict[str, Any] = {
         "variant": variant,
         "rtol": rtol,
@@ -164,26 +170,7 @@ def check_odom_parity(
             f"zoo variant {variant!r} publishes no odometry metrics for "
             f"sequence {seq!r} (has: {sorted(om) if om else 'none'})"
         )
-    rows = []
-    ok = True
-    for name, ref in om[seq].items():
-        if name not in measured:
-            rows.append({"metric": name, "status": "missing"})
-            ok = False
-            continue
-        got = float(measured[name])
-        rel = abs(got - ref) / abs(ref)
-        passed = rel <= rtol
-        ok = ok and passed
-        rows.append(
-            {
-                "metric": name,
-                "published": ref,
-                "measured": round(got, 4),
-                "rel_err": round(rel, 4),
-                "status": "pass" if passed else "FAIL",
-            }
-        )
+    rows, ok = _compare_metrics(om[seq], measured, rtol)
     return {
         "variant": variant,
         "sequence": seq,
