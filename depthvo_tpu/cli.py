@@ -564,6 +564,25 @@ def cmd_import_caffemodel(args) -> int:
     return 0
 
 
+def cmd_export_serving(args) -> int:
+    """Freeze the depth forward into a portable, weights-embedded
+    StableHLO artifact (the deploy.prototxt+caffemodel analog, lowered
+    ahead-of-time for cpu+tpu; loadable with jax alone)."""
+    from depthvo_tpu.io import serving
+
+    model = _load_model(args)
+    sidecar = serving.export_depth(
+        model,
+        args.output,
+        input_dtype=args.input_dtype,
+        batch=args.batch,
+        output=args.head,
+    )
+    print(json.dumps(sidecar, indent=2))
+    print(f"wrote {args.output} (+ .json sidecar)")
+    return 0
+
+
 def cmd_zoo(args) -> int:
     """Model-zoo table + automated fidelity-gate check (README model-zoo
     analog, SURVEY.md §1 row 8; gate tolerance from BASELINE.md)."""
@@ -885,6 +904,23 @@ def main(argv=None) -> int:
         help="enumerate accelerators + HBM stats (reference: caffe device_query)",
     )
     p.set_defaults(fn=cmd_device_query)
+
+    p = sub.add_parser(
+        "export-serving",
+        help="freeze the depth net into a portable StableHLO artifact "
+             "(weights embedded, cpu+tpu, any batch size)",
+    )
+    _add_common(p)
+    p.add_argument("--output", required=True,
+                   help="artifact path (a .json input-spec sidecar lands "
+                        "next to it)")
+    p.add_argument("--input-dtype", default="uint8",
+                   choices=["uint8", "float32"])
+    p.add_argument("--batch", type=int, default=None,
+                   help="concrete batch size (default: symbolic — one "
+                        "artifact serves every batch size)")
+    p.add_argument("--head", default="depth", choices=["depth", "disparity"])
+    p.set_defaults(fn=cmd_export_serving)
 
     p = sub.add_parser(
         "zoo",
