@@ -51,6 +51,11 @@ class ModelConfig:
     # Subpixel (depth-to-space) final head: per-output-pixel learned
     # upsampling with the same full-res-conv savings (models/depth_net.py).
     subpixel_head: bool = False
+    # Rematerialize DepthNet stages under AD (jax.checkpoint): recompute
+    # in-stage activations in the backward instead of holding them in
+    # HBM — the FLOPs-for-memory trade that raises the per-chip batch
+    # ceiling (models/depth_net.py).
+    remat: bool = False
 
     @property
     def image_shape(self) -> Tuple[int, int, int]:

@@ -53,6 +53,13 @@ class DepthNet(nn.Module):
     # full-res-conv savings, but each output pixel gets its own
     # prediction instead of a bilinear blur.
     subpixel_head: bool = False
+    # Rematerialize encoder stages and decoder blocks under AD
+    # (jax.checkpoint): activations inside each stage are recomputed in
+    # the backward pass instead of living in HBM across the whole step.
+    # Same math bit-for-bit; trades ~1 extra forward of FLOPs for the
+    # activation memory that otherwise caps per-chip batch size (the
+    # measured MFU lever — PERF.md batch-size scaling table).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -61,18 +68,34 @@ class DepthNet(nn.Module):
         finest last, in float32."""
         dt = self.compute_dtype
         x = x.astype(dt)
+        # Remat boundaries are whole stages/blocks: only the (small)
+        # stage-boundary activations stay live across the backward.
+        # `train` is a static python bool (index 2 counting self). The
+        # wrapped classes auto-name as Checkpoint<Cls>_N, which would
+        # fork the param tree from non-remat checkpoints — every wrapped
+        # module gets an explicit name matching the non-remat auto-names,
+        # so weights are interchangeable between the two modes.
+        if self.remat:
+            Stage = nn.remat(ResNetStage, static_argnums=(2,))
+            Up = nn.remat(UpConv, static_argnums=(2,))
+            CB = nn.remat(ConvBlock, static_argnums=(2,))
+        else:
+            Stage, Up, CB = ResNetStage, UpConv, ConvBlock
 
         # ----- encoder -----
         skips = []
-        x = ConvBlock(self.stem_features, 7, 2, dtype=dt)(x, train)  # 1/2
+        x = CB(self.stem_features, 7, 2, dtype=dt, name="ConvBlock_0")(
+            x, train
+        )  # 1/2
         skips.append(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")  # 1/4
         for i, (planes, blocks) in enumerate(
             zip(self.stage_planes, self.stage_blocks)
         ):
-            x = ResNetStage(planes, blocks, stride=1 if i == 0 else 2, dtype=dt)(
-                x, train
-            )
+            x = Stage(
+                planes, blocks, stride=1 if i == 0 else 2, dtype=dt,
+                name=f"ResNetStage_{i}",
+            )(x, train)
             skips.append(x)
         # skips: [1/2 (32), 1/4 (128), 1/8 (256), 1/16 (512), 1/32 (1024)]
 
@@ -112,11 +135,13 @@ class DepthNet(nn.Module):
                 prev = disps[-1]
                 disps.append(resize_bilinear(prev, prev.shape[1] * 2, prev.shape[2] * 2))
                 break
-            x = UpConv(feats, dtype=dt)(x, train)
+            x = Up(feats, dtype=dt, name=f"UpConv_{i}")(x, train)
             skip_idx = len(skips) - 2 - i
             if skip_idx >= 0:
                 x = jnp.concatenate([x, skips[skip_idx]], axis=-1)
-            x = ConvBlock(feats, 3, 1, use_bn=False, dtype=dt)(x, train)
+            x = CB(
+                feats, 3, 1, use_bn=False, dtype=dt, name=f"ConvBlock_{i + 1}"
+            )(x, train)
             # Predict inverse depth at the last `num_scales` resolutions
             # (with fast_final_upsample the second-finest stage must also
             # emit a disp to upsample from).

@@ -103,6 +103,7 @@ def build_models(config: ExperimentConfig):
         compute_dtype=dt,
         fast_final_upsample=mc.fast_final_upsample,
         subpixel_head=mc.subpixel_head,
+        remat=mc.remat,
     )
     odom = OdomNet(compute_dtype=dt)
     feat = FeatNet(out_features=mc.feat_channels, compute_dtype=dt)

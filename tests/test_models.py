@@ -177,6 +177,35 @@ def test_odom_layer_table():
     assert rows[-1]["fwd_cumulative_ms"] > 0
 
 
+def test_remat_preserves_forward_and_grads():
+    """remat=True (jax.checkpoint over stages) is a pure memory/FLOPs
+    trade: identical param tree, identical forward, matching grads."""
+    import jax.numpy as jnp
+
+    from depthvo_tpu.models.depth_net import DepthNet
+
+    kw = dict(num_scales=2, compute_dtype=jnp.float32)
+    net = DepthNet(**kw)
+    net_r = DepthNet(remat=True, **kw)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (2, 32, 96, 3)), jnp.float32
+    )
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    # Same parameter structure: remat is a lifted transform, not a
+    # different architecture — weights are interchangeable.
+    vr = net_r.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(vr)
+
+    def loss(mdl, v):
+        return sum(jnp.sum(d) for d in mdl.apply(v, x, train=False))
+
+    l0, g0 = jax.value_and_grad(lambda v: loss(net, v))(variables)
+    l1, g1 = jax.value_and_grad(lambda v: loss(net_r, v))(variables)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_feat_layer_table():
     """bench --mode feat_layers: the per-layer table also covers the
     feature extractor (dilated conv blocks + projection conv)."""
