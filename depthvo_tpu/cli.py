@@ -108,6 +108,10 @@ def cmd_train(args) -> int:
         cfg = dataclasses.replace(
             cfg, optim=dataclasses.replace(cfg.optim, iter_size=args.iter_size)
         )
+    if args.remat:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, remat=True)
+        )
 
     mesh = pmesh.make_mesh(
         args.num_devices, num_slices=getattr(args, "num_slices", 1)
@@ -719,6 +723,7 @@ def cmd_bench(args) -> int:
         steps=args.steps,
         trace_dir=args.trace_dir,
         variant=args.variant,
+        remat=args.remat,
     )
     print(json.dumps(result))
     return 0
@@ -748,6 +753,9 @@ def main(argv=None) -> int:
     p.add_argument("--iter-size", type=int, default=1,
                    help="Caffe solver iter_size: accumulate gradients over "
                         "k micro-batches per optimizer update")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize DepthNet stages (memory-for-FLOPs; "
+                        "raises the per-chip batch ceiling)")
     p.add_argument("--num-slices", type=int, default=1,
                    help="multi-slice DP: hierarchical (dcn, data) mesh; "
                         "gradient reduce rides ICI within a slice, DCN across")
@@ -944,6 +952,9 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace here")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize DepthNet stages (memory-for-FLOPs; "
+                        "raises the per-chip batch ceiling)")
     p.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)

@@ -300,6 +300,7 @@ def run_benchmark(
     steps: int = 50,
     trace_dir: str | None = None,
     variant: str = "full_feat",
+    remat: bool = False,
 ) -> Dict[str, Any]:
     """Benchmark one of the hot paths; returns a JSON-able result dict.
 
@@ -333,7 +334,10 @@ def run_benchmark(
     def _cfg(**over):
         cfg = getattr(configs, variant)(**over)
         return dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, height=height, width=width)
+            cfg,
+            model=dataclasses.replace(
+                cfg.model, height=height, width=width, remat=remat
+            ),
         )
 
     if mode == "depth_infer":
