@@ -31,4 +31,10 @@ def __getattr__(name):
         from depthvo_tpu import api
 
         return getattr(api, name)
+    if name == "zoo":
+        # importlib, not `from depthvo_tpu import zoo`: the from-import
+        # re-enters this __getattr__ while the submodule is mid-import.
+        import importlib
+
+        return importlib.import_module("depthvo_tpu.zoo")
     raise AttributeError(f"module 'depthvo_tpu' has no attribute {name!r}")
