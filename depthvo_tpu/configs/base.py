@@ -70,9 +70,23 @@ class OptimConfig:
     beta2: float = 0.999
     weight_decay: float = 0.0
     grad_clip_norm: float = 10.0
-    # Step decay mirroring Caffe's `stepsize`/`gamma` lr policy.
+    # Caffe solver `lr_policy` family (solver.cpp::GetLearningRate,
+    # SURVEY §2b(ii) solver row). One of:
+    #   fixed     : base_lr
+    #   step      : base_lr * gamma^floor(iter / stepsize)
+    #   exp       : base_lr * gamma^iter
+    #   inv       : base_lr * (1 + gamma*iter)^(-power)
+    #   multistep : base_lr * gamma^(#stepvalues passed)
+    #   poly      : base_lr * (1 - iter/max_iter)^power
+    #   sigmoid   : base_lr / (1 + exp(-gamma * (iter - stepsize)))
+    # with stepsize = lr_decay_steps, gamma = lr_decay_factor,
+    # power = lr_power, max_iter = total_steps. `iter` counts optimizer
+    # updates (micro-batches are folded by iter_size first, like Caffe).
+    lr_policy: str = "step"
     lr_decay_steps: int = 80_000
     lr_decay_factor: float = 0.5
+    lr_power: float = 1.0
+    lr_step_values: Tuple[int, ...] = ()
     total_steps: int = 200_000
     warmup_steps: int = 200
     # Caffe solver `iter_size`: accumulate (average) gradients over this
@@ -206,7 +220,10 @@ def from_dict(d: dict) -> ExperimentConfig:
     if isinstance(kwargs.get("model"), dict):
         kwargs["model"] = ModelConfig(**pick(ModelConfig, kwargs["model"]))
     if isinstance(kwargs.get("optim"), dict):
-        kwargs["optim"] = OptimConfig(**pick(OptimConfig, kwargs["optim"]))
+        ok = pick(OptimConfig, kwargs["optim"])
+        if "lr_step_values" in ok:  # JSON arrays decode as lists
+            ok["lr_step_values"] = tuple(ok["lr_step_values"])
+        kwargs["optim"] = OptimConfig(**ok)
     return ExperimentConfig(**kwargs)
 
 

@@ -37,16 +37,62 @@ class TrainState:
         )
 
 
+def lr_schedule(oc) -> Callable[[jax.Array], jax.Array]:
+    """Decay schedule implementing the Caffe ``lr_policy`` family.
+
+    Formula-exact analogs of ``solver.cpp::GetLearningRate`` (SURVEY
+    §2b(ii) solver row; see the OptimConfig docstring for the mapping of
+    stepsize/gamma/power/max_iter onto config fields). ``iter`` is the
+    optimizer-update count — with ``iter_size > 1`` optax.MultiSteps
+    applies the inner chain once per accumulated batch, so the schedule
+    sees Caffe's solver-iteration count, not the micro-batch count.
+
+    Every branch is a jnp expression of the traced step so the schedule
+    jits inside the training step (no Python control flow on ``iter``).
+    """
+    base = oc.learning_rate
+    gamma = oc.lr_decay_factor
+    power = oc.lr_power
+    stepsize = max(1, oc.lr_decay_steps)
+    max_iter = max(1, oc.total_steps)
+    policy = oc.lr_policy
+
+    if policy == "fixed":
+        return lambda i: jnp.full((), base, jnp.float32)
+    if policy == "step":
+        return lambda i: base * gamma ** jnp.floor(i / stepsize)
+    if policy == "exp":
+        return lambda i: base * gamma ** jnp.asarray(i, jnp.float32)
+    if policy == "inv":
+        return lambda i: base * (1.0 + gamma * i) ** (-power)
+    if policy == "multistep":
+        values = tuple(int(v) for v in oc.lr_step_values)
+        if not values:
+            raise ValueError(
+                "lr_policy='multistep' needs non-empty lr_step_values"
+            )
+
+        def sched(i):
+            passed = sum(jnp.asarray(i >= v, jnp.float32) for v in values)
+            return base * gamma ** passed
+
+        return sched
+    if policy == "poly":
+        return lambda i: base * jnp.maximum(0.0, 1.0 - i / max_iter) ** power
+    if policy == "sigmoid":
+        return lambda i: base / (1.0 + jnp.exp(-gamma * (i - stepsize)))
+    raise ValueError(
+        f"unknown lr_policy {policy!r} (expected fixed/step/exp/inv/"
+        f"multistep/poly/sigmoid)"
+    )
+
+
 def make_optimizer(config: ExperimentConfig) -> optax.GradientTransformation:
-    """Optimizer chain: warmup + Caffe-style step decay, clip, Adam; the
-    feature net is frozen unless ``config.train_feat`` (reference: the
+    """Optimizer chain: warmup + a Caffe lr_policy schedule, clip, Adam;
+    the feature net is frozen unless ``config.train_feat`` (reference: the
     feature extractor is fixed during depth/odom training, SURVEY.md §0)."""
     oc = config.optim
-    boundaries = {
-        int(oc.lr_decay_steps * (i + 1)): oc.lr_decay_factor
-        for i in range(max(0, oc.total_steps // max(1, oc.lr_decay_steps)))
-    }
-    decay = optax.piecewise_constant_schedule(oc.learning_rate, boundaries)
+    decay = lr_schedule(oc)
     if oc.warmup_steps > 0:
         schedule = optax.join_schedules(
             [
