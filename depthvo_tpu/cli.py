@@ -195,6 +195,8 @@ def cmd_train(args) -> int:
             steps_per_call=args.steps_per_call,
             eval_iter=eval_it, eval_every=args.eval_every,
             eval_steps=args.eval_steps,
+            sigint_effect=args.sigint_effect,
+            sighup_effect=args.sighup_effect,
         )
     finally:
         log.close()
@@ -791,6 +793,14 @@ def main(argv=None) -> int:
     p.add_argument("--native-ring", default=None,
                    type=lambda s: s.lower() in ("1", "true", "yes"),
                    help="force the C++ prefetch ring on/off (default: auto)")
+    p.add_argument("--sigint-effect", default="stop",
+                   choices=["stop", "snapshot", "none"],
+                   help="SIGINT (Ctrl-C) action: snapshot + clean exit, "
+                        "snapshot + continue, or OS default (Caffe "
+                        "`caffe train --sigint_effect`)")
+    p.add_argument("--sighup-effect", default="snapshot",
+                   choices=["stop", "snapshot", "none"],
+                   help="SIGHUP action (Caffe `--sighup_effect`)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser(

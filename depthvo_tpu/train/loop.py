@@ -350,6 +350,65 @@ def run_validation(
     return {f"val/{k}": v / max(eval_steps, 1) for k, v in totals.items()}
 
 
+class SolverSignals:
+    """Caffe ``SignalHandler`` analog (caffe.cpp ``--sigint_effect`` /
+    ``--sighup_effect``, SURVEY §2b(ii) tools/caffe.cpp row).
+
+    Maps SIGINT/SIGHUP to a solver action checked once per step
+    dispatch: ``"stop"`` finishes the current step, snapshots, and
+    returns from :func:`fit` cleanly; ``"snapshot"`` writes a checkpoint
+    and keeps training; ``"none"`` leaves the OS default (SIGINT raises
+    KeyboardInterrupt, SIGHUP kills). Stop outranks a pending snapshot.
+
+    Use as a context manager — previous handlers are restored on exit.
+    Installation is skipped (with the prior behavior kept) off the main
+    thread, where CPython forbids ``signal.signal``.
+    """
+
+    _EFFECTS = ("stop", "snapshot", "none")
+
+    def __init__(self, sigint: str = "none", sighup: str = "none"):
+        import signal as _signal
+
+        for name, eff in (("sigint", sigint), ("sighup", sighup)):
+            if eff not in self._EFFECTS:
+                raise ValueError(
+                    f"{name}_effect {eff!r} not in {self._EFFECTS}"
+                )
+        self._signal = _signal
+        self._effects = {}
+        if sigint != "none":
+            self._effects[_signal.SIGINT] = sigint
+        if sighup != "none" and hasattr(_signal, "SIGHUP"):
+            self._effects[_signal.SIGHUP] = sighup
+        self._prev = {}
+        self._pending: str | None = None
+
+    def _handle(self, signum, frame):
+        effect = self._effects[signum]
+        if self._pending != "stop":  # stop outranks snapshot
+            self._pending = effect
+
+    def __enter__(self):
+        for signum in self._effects:
+            try:
+                self._prev[signum] = self._signal.signal(signum, self._handle)
+            except ValueError:  # not the main thread
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        for signum, prev in self._prev.items():
+            self._signal.signal(signum, prev)
+        self._prev.clear()
+        return False
+
+    def pending(self) -> str | None:
+        """Return and clear the requested action ('stop'/'snapshot'/None)."""
+        action, self._pending = self._pending, None
+        return action
+
+
 def fit(
     config: ExperimentConfig,
     data_iter: Iterator[Dict[str, np.ndarray]],
@@ -363,6 +422,8 @@ def fit(
     eval_iter: Iterator[Dict[str, np.ndarray]] | None = None,
     eval_every: int = 0,
     eval_steps: int = 10,
+    sigint_effect: str = "none",
+    sighup_effect: str = "none",
 ) -> TrainState:
     """Host training loop: the rebuild of ``Solver::Solve`` (SURVEY.md §3.1).
 
@@ -382,6 +443,12 @@ def fit(
     ``prefetch`` overlaps host batch prep + host->device transfer with
     the previous step's compute on a producer thread (the Caffe
     InternalThread analog; SURVEY.md §2b(ii)). Set 0 to disable.
+
+    ``sigint_effect`` / ``sighup_effect`` ('stop'/'snapshot'/'none') are
+    the Caffe ``caffe train --sigint_effect/--sighup_effect`` analogs —
+    see :class:`SolverSignals`. The CLI passes Caffe's defaults
+    (SIGINT stop, SIGHUP snapshot); the library default is 'none' so
+    embedding applications keep their own signal handling.
     """
     if mesh is None:
         mesh = pmesh.make_mesh(1)
@@ -447,57 +514,71 @@ def fit(
     steady_t0 = None  # reset after step 1 so steps_per_sec excludes compile
     steady_base = start_step
     i = start_step
-    while i < num_steps:
-        k = min(steps_per_call, num_steps - i)
-        if steps_per_call > 1:
-            # One [K, ...] super-batch per dispatch. A short trailing call
-            # still runs K real optimizer steps (prefetched path: fresh
-            # data; fallback path: last batch repeated), matching
-            # num_steps only approximately on the tail.
-            if sharded_iter is not None:
-                batch = next(sharded_iter)
-            else:
-                batches = [next(data_iter) for _ in range(k)]
-                while len(batches) < steps_per_call:
-                    batches.append(batches[-1])
-                batch = pmesh.shard_stacked_batch(stack_batches(batches), mesh)
-            state, metrics = step_fn(state, batch)
-            i += steps_per_call
-        else:
-            if sharded_iter is not None:
-                batch = next(sharded_iter)
-            else:
-                batch = pmesh.shard_batch(next(data_iter), mesh)
-            state, metrics = step_fn(state, batch)
-            i += 1
-        if steady_t0 is None:
-            # First step included compilation; measure throughput from here.
-            jax.block_until_ready(metrics["loss/total"])
-            steady_t0 = time.perf_counter()
-            steady_base = i
-        last = i - 1
-        if log_fn is not None and (
-            last % config.log_every < (steps_per_call if steps_per_call > 1 else 1)
-            or i >= num_steps
-        ):
-            metrics = jax.device_get(metrics)
-            dt = time.perf_counter() - steady_t0
-            metrics["steps_per_sec"] = (i - steady_base) / max(dt, 1e-9)
-            log_fn(last, {k_: float(v) for k_, v in metrics.items()})
-        if eval_fn is not None and (
-            (last + 1) % eval_every < (steps_per_call if steps_per_call > 1 else 1)
-            or i >= num_steps
-        ):
-            val = run_validation(eval_fn, state, eval_iter, eval_steps, mesh)
-            if log_fn is not None:
-                log_fn(last, val)
-        if ckpt_mgr is not None and (
-            (last + 1) % config.checkpoint_every < (steps_per_call if steps_per_call > 1 else 1)
-            or i >= num_steps
-        ):
-            from depthvo_tpu.io import checkpoint as ckpt_io
+    signals = SolverSignals(sigint=sigint_effect, sighup=sighup_effect)
+    with signals:
+        while i < num_steps:
+            action = signals.pending()
+            if action is not None:
+                # Skip if the periodic snapshot just saved this exact step
+                # (orbax refuses to overwrite an existing step).
+                if ckpt_mgr is not None and ckpt_mgr.latest_step() != int(state.step):
+                    from depthvo_tpu.io import checkpoint as ckpt_io
 
-            ckpt_io.save(ckpt_mgr, state)
+                    ckpt_io.save(ckpt_mgr, state)
+                if log_fn is not None:
+                    log_fn(i - 1, {f"signal/{action}": 1.0})
+                if action == "stop":
+                    break
+            k = min(steps_per_call, num_steps - i)
+            if steps_per_call > 1:
+                # One [K, ...] super-batch per dispatch. A short trailing call
+                # still runs K real optimizer steps (prefetched path: fresh
+                # data; fallback path: last batch repeated), matching
+                # num_steps only approximately on the tail.
+                if sharded_iter is not None:
+                    batch = next(sharded_iter)
+                else:
+                    batches = [next(data_iter) for _ in range(k)]
+                    while len(batches) < steps_per_call:
+                        batches.append(batches[-1])
+                    batch = pmesh.shard_stacked_batch(stack_batches(batches), mesh)
+                state, metrics = step_fn(state, batch)
+                i += steps_per_call
+            else:
+                if sharded_iter is not None:
+                    batch = next(sharded_iter)
+                else:
+                    batch = pmesh.shard_batch(next(data_iter), mesh)
+                state, metrics = step_fn(state, batch)
+                i += 1
+            if steady_t0 is None:
+                # First step included compilation; measure throughput from here.
+                jax.block_until_ready(metrics["loss/total"])
+                steady_t0 = time.perf_counter()
+                steady_base = i
+            last = i - 1
+            if log_fn is not None and (
+                last % config.log_every < (steps_per_call if steps_per_call > 1 else 1)
+                or i >= num_steps
+            ):
+                metrics = jax.device_get(metrics)
+                dt = time.perf_counter() - steady_t0
+                metrics["steps_per_sec"] = (i - steady_base) / max(dt, 1e-9)
+                log_fn(last, {k_: float(v) for k_, v in metrics.items()})
+            if eval_fn is not None and (
+                (last + 1) % eval_every < (steps_per_call if steps_per_call > 1 else 1)
+                or i >= num_steps
+            ):
+                val = run_validation(eval_fn, state, eval_iter, eval_steps, mesh)
+                if log_fn is not None:
+                    log_fn(last, val)
+            if ckpt_mgr is not None and (
+                (last + 1) % config.checkpoint_every < (steps_per_call if steps_per_call > 1 else 1)
+                or i >= num_steps
+            ):
+                from depthvo_tpu.io import checkpoint as ckpt_io
+
+                ckpt_io.save(ckpt_mgr, state)
     if ckpt_mgr is not None:
         ckpt_mgr.wait_until_finished()
     return state

@@ -481,3 +481,102 @@ def test_cli_test_subcommand(tmp_path, capsys):
     assert np.isfinite(metrics["val/loss/total"])
     for term in ("val/loss/stereo", "val/loss/temporal", "val/loss/feature"):
         assert term in metrics, term
+
+
+class TestSolverSignals:
+    """Caffe SignalHandler parity (caffe.cpp --sigint_effect/--sighup_effect):
+    the unit contract of train_loop.SolverSignals plus fit()'s
+    stop/snapshot behavior with signals raised mid-loop."""
+
+    def test_effects_map_and_priority(self):
+        import os
+        import signal
+
+        with train_loop.SolverSignals(sigint="stop", sighup="snapshot") as s:
+            assert s.pending() is None
+            os.kill(os.getpid(), signal.SIGHUP)
+            assert s.pending() == "snapshot"
+            assert s.pending() is None  # consumed
+            # stop outranks a later snapshot request
+            os.kill(os.getpid(), signal.SIGINT)
+            os.kill(os.getpid(), signal.SIGHUP)
+            assert s.pending() == "stop"
+
+    def test_handlers_restored_on_exit(self):
+        import signal
+
+        before = signal.getsignal(signal.SIGINT)
+        with train_loop.SolverSignals(sigint="stop"):
+            assert signal.getsignal(signal.SIGINT) is not before
+        assert signal.getsignal(signal.SIGINT) is before
+
+    def test_none_installs_nothing(self):
+        import signal
+
+        before_int = signal.getsignal(signal.SIGINT)
+        before_hup = signal.getsignal(signal.SIGHUP)
+        with train_loop.SolverSignals():
+            assert signal.getsignal(signal.SIGINT) is before_int
+            assert signal.getsignal(signal.SIGHUP) is before_hup
+
+    def test_invalid_effect_raises(self):
+        with pytest.raises(ValueError, match="sigint_effect"):
+            train_loop.SolverSignals(sigint="pause")
+
+    def test_fit_sigint_stops_early_with_snapshot(self, tmp_path):
+        """SIGINT delivered mid-training (from the batch iterator, so the
+        delivery point is deterministic) finishes the in-flight step,
+        snapshots, and returns cleanly before num_steps."""
+        import os
+        import signal
+
+        cfg = configs.tiny_test()
+        scenes = SyntheticScenes(cfg, seed=11, num_scenes=2)
+        inner = scenes.iterator(cfg.batch_size, fixed=True)
+
+        def interrupting():
+            for n, batch in enumerate(inner):
+                if n == 3:
+                    os.kill(os.getpid(), signal.SIGINT)
+                yield batch
+
+        state = train_loop.fit(
+            cfg, interrupting(), 50,
+            checkpoint_dir=str(tmp_path / "ck"),
+            prefetch=0, sigint_effect="stop",
+        )
+        stopped_at = int(state.step)
+        assert stopped_at < 50  # stopped early
+        assert stopped_at >= 3  # but not before the signal
+        from depthvo_tpu.io import checkpoint as ckpt_io
+
+        mgr = ckpt_io.make_manager(str(tmp_path / "ck"))
+        assert mgr.latest_step() == stopped_at
+
+    def test_fit_sighup_snapshots_and_continues(self, tmp_path):
+        import os
+        import signal
+
+        cfg = configs.tiny_test()
+        scenes = SyntheticScenes(cfg, seed=12, num_scenes=2)
+        inner = scenes.iterator(cfg.batch_size, fixed=True)
+
+        def hup_at_3():
+            for n, batch in enumerate(inner):
+                if n == 3:
+                    os.kill(os.getpid(), signal.SIGHUP)
+                yield batch
+
+        state = train_loop.fit(
+            cfg, hup_at_3(), 6,
+            checkpoint_dir=str(tmp_path / "ck"),
+            prefetch=0, sighup_effect="snapshot",
+        )
+        assert int(state.step) == 6  # ran to completion
+        from depthvo_tpu.io import checkpoint as ckpt_io
+
+        mgr = ckpt_io.make_manager(str(tmp_path / "ck"))
+        steps = sorted(mgr.all_steps())
+        # one mid-training snapshot (from SIGHUP) + the final save
+        assert 6 in steps
+        assert any(0 < s < 6 for s in steps), steps
