@@ -241,8 +241,16 @@ def test_scan_train_step_matches_sequential():
         float(m_a0["loss/total"]), float(m_c["loss/total"]), rtol=1e-5
     )
 
-    # K=3: three Adam steps amplify f32 fusion-order noise; check the
-    # trajectories agree to ~1%.
+    # K=3 in ONE dispatch == 3 sequential K=1 dispatches of the SAME scan
+    # body: this is the actual scan-dispatch contract, and it is
+    # deterministic (identical compiled program per step), so the
+    # tolerance can be tight. Comparing a 3-step PLAIN trajectory against
+    # the scan trajectory instead is flaky by construction: the two
+    # programs differ in fusion order, the ~1e-5 step-1 param noise gets
+    # amplified through the warp valid-masks (pixels near the derived
+    # disparity bound flip between valid/invalid), and the step-3 losses
+    # can land percent-level apart with no semantic difference — observed
+    # as a 2.6% flake on the 8-device CPU mesh.
     state_b = jax.device_put(
         create_state(cfg, jax.random.PRNGKey(0)), pmesh.replicated(mesh)
     )
@@ -250,9 +258,22 @@ def test_scan_train_step_matches_sequential():
     stacked = pmesh.shard_batch(train_loop.stack_batches(batches), mesh)
     state_b, m_b = scan_step(state_b, stacked)
 
-    assert int(state_a.step) == int(state_b.step) == 3
+    state_d = jax.device_put(
+        create_state(cfg, jax.random.PRNGKey(0)), pmesh.replicated(mesh)
+    )
+    for b in batches:
+        state_d, m_d = scan1(
+            state_d, pmesh.shard_batch(train_loop.stack_batches([b]), mesh)
+        )
+
+    assert int(state_a.step) == int(state_b.step) == int(state_d.step) == 3
     np.testing.assert_allclose(
-        float(m_a["loss/total"]), float(m_b["loss/total"]), rtol=1e-2
+        float(m_d["loss/total"]), float(m_b["loss/total"]), rtol=1e-4
+    )
+    # And the plain-step trajectory stays in the same neighborhood (loose
+    # bound — see the flake note above).
+    np.testing.assert_allclose(
+        float(m_a["loss/total"]), float(m_b["loss/total"]), rtol=0.1
     )
 
 
