@@ -64,10 +64,17 @@ class ModelConfig:
 
 @dataclasses.dataclass(frozen=True)
 class OptimConfig:
+    # The Caffe solver family (sgd_solvers.cpp): adam / sgd / nesterov /
+    # adagrad / rmsprop / adadelta. Caffe's `momentum` maps onto beta1
+    # (sgd/nesterov momentum, adadelta rho), `rms_decay` and `delta`
+    # keep their Caffe names; weight_decay is decoupled (adamw) for adam
+    # and classic L2 for the others, matching each solver's convention.
     optimizer: str = "adam"
     learning_rate: float = 1e-4
     beta1: float = 0.9
     beta2: float = 0.999
+    rms_decay: float = 0.99
+    delta: float = 1e-8
     weight_decay: float = 0.0
     grad_clip_norm: float = 10.0
     # Caffe solver `lr_policy` family (solver.cpp::GetLearningRate,

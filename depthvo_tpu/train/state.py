@@ -105,15 +105,39 @@ def make_optimizer(config: ExperimentConfig) -> optax.GradientTransformation:
         # No warmup (the Caffe default): full lr from the very first
         # update — a joined 1-step ramp would silently zero it.
         schedule = decay
+    # The Caffe solver family (sgd_solvers.cpp; SURVEY §2b(ii) solver
+    # row). Caffe's `momentum` is beta1 here (sgd/nesterov momentum,
+    # adadelta rho); `rms_decay`/`delta` keep their Caffe names. Adam
+    # uses decoupled decay (adamw); the classic solvers get Caffe's L2
+    # weight_decay added to the gradient before the update.
+    l2 = (
+        [optax.add_decayed_weights(oc.weight_decay)]
+        if oc.weight_decay > 0.0
+        else []
+    )
     if oc.optimizer == "adam":
-        base = optax.adamw(
-            schedule, b1=oc.beta1, b2=oc.beta2, weight_decay=oc.weight_decay
-        )
+        base = [
+            optax.adamw(
+                schedule, b1=oc.beta1, b2=oc.beta2, eps=oc.delta,
+                weight_decay=oc.weight_decay,
+            )
+        ]
     elif oc.optimizer == "sgd":
-        base = optax.sgd(schedule, momentum=oc.beta1)
+        base = l2 + [optax.sgd(schedule, momentum=oc.beta1)]
+    elif oc.optimizer == "nesterov":
+        base = l2 + [optax.sgd(schedule, momentum=oc.beta1, nesterov=True)]
+    elif oc.optimizer == "adagrad":
+        base = l2 + [optax.adagrad(schedule, eps=oc.delta)]
+    elif oc.optimizer == "rmsprop":
+        base = l2 + [optax.rmsprop(schedule, decay=oc.rms_decay, eps=oc.delta)]
+    elif oc.optimizer == "adadelta":
+        base = l2 + [optax.adadelta(schedule, rho=oc.beta1, eps=oc.delta)]
     else:
-        raise ValueError(f"unknown optimizer {oc.optimizer!r}")
-    tx = optax.chain(optax.clip_by_global_norm(oc.grad_clip_norm), base)
+        raise ValueError(
+            f"unknown optimizer {oc.optimizer!r} (expected adam/sgd/"
+            f"nesterov/adagrad/rmsprop/adadelta)"
+        )
+    tx = optax.chain(optax.clip_by_global_norm(oc.grad_clip_norm), *base)
 
     def label_fn(params):
         return {

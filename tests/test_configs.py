@@ -378,3 +378,91 @@ class TestLrPolicies:
         path = str(tmp_path / "config.json")
         configs.save_json(cfg, path)
         assert configs.load_json(path) == cfg
+
+
+class TestSolverFamily:
+    """The Caffe solver family (sgd_solvers.cpp): every solver type
+    builds, updates params, and reduces a quadratic objective."""
+
+    @staticmethod
+    def _one_update(policy_kwargs, grads_val=1.0):
+        import jax.numpy as jnp
+        import optax
+
+        from depthvo_tpu.train.state import make_optimizer
+
+        params = {"depth": {"w": jnp.ones(3)}, "odom": {}, "feat": {}}
+        grads = {"depth": {"w": jnp.full(3, grads_val)}, "odom": {}, "feat": {}}
+        cfg = configs.stereo(
+            optim=configs.OptimConfig(warmup_steps=0, **policy_kwargs)
+        )
+        tx = make_optimizer(cfg)
+        st = tx.init(params)
+        updates, _ = tx.update(grads, st, params)
+        return optax.apply_updates(params, updates)["depth"]["w"]
+
+    @pytest.mark.parametrize(
+        "solver", ["adam", "sgd", "nesterov", "adagrad", "rmsprop", "adadelta"]
+    )
+    def test_every_solver_updates(self, solver):
+        w = self._one_update({"optimizer": solver, "learning_rate": 0.01})
+        assert float(w[0]) < 1.0  # moved against the gradient
+
+    def test_nesterov_differs_from_sgd(self):
+        # With momentum, the nesterov lookahead doubles the first-step
+        # displacement relative to plain heavy-ball.
+        sgd = self._one_update({"optimizer": "sgd", "learning_rate": 0.01})
+        nag = self._one_update({"optimizer": "nesterov", "learning_rate": 0.01})
+        assert float(nag[0]) < float(sgd[0])
+
+    def test_unknown_solver_raises(self):
+        from depthvo_tpu.train.state import make_optimizer
+
+        cfg = configs.stereo(optim=configs.OptimConfig(optimizer="lbfgs"))
+        with pytest.raises(ValueError, match="unknown optimizer"):
+            make_optimizer(cfg)
+
+    def test_l2_weight_decay_on_classic_solvers(self):
+        # Zero gradient + weight_decay: the param still shrinks (Caffe's
+        # L2 regularization is part of the solver, not the loss).
+        w = self._one_update(
+            {"optimizer": "sgd", "learning_rate": 0.1,
+             "beta1": 0.0, "weight_decay": 0.1},
+            grads_val=0.0,
+        )
+        assert float(w[0]) == pytest.approx(1.0 - 0.1 * 0.1 * 1.0)
+
+    def test_quadratic_convergence_all_solvers(self):
+        """Each solver shrinks ||w||^2 over 50 steps on its own."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from depthvo_tpu.train.state import make_optimizer
+
+        # Per-solver hyperparams: adagrad's accumulator shrinks its
+        # effective lr fast, adadelta self-scales from `delta` upward —
+        # both need settings suited to a 2-d quadratic to converge in a
+        # bounded number of steps.
+        for solver, kw in [
+            ("adam", dict(learning_rate=0.05)),
+            ("sgd", dict(learning_rate=0.05)),
+            ("nesterov", dict(learning_rate=0.05)),
+            ("adagrad", dict(learning_rate=0.5)),
+            ("rmsprop", dict(learning_rate=0.05)),
+            ("adadelta", dict(learning_rate=1.0, delta=1e-2)),
+        ]:
+            cfg = configs.stereo(
+                optim=configs.OptimConfig(warmup_steps=0, optimizer=solver, **kw)
+            )
+            tx = make_optimizer(cfg)
+            params = {"depth": {"w": jnp.array([2.0, -3.0])},
+                      "odom": {}, "feat": {}}
+            st = tx.init(params)
+            loss = lambda p: jnp.sum(p["depth"]["w"] ** 2)
+            l0 = float(loss(params))
+            for _ in range(100):
+                grads = jax.grad(loss)(params)
+                updates, st = tx.update(grads, st, params)
+                params = optax.apply_updates(params, updates)
+            assert float(loss(params)) < 0.1 * l0, solver
