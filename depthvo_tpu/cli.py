@@ -100,6 +100,22 @@ def cmd_train(args) -> int:
     import dataclasses
 
     cfg = _make_config(args)
+    if getattr(args, "solver", None):
+        # Caffe solver.prototxt overlay (the `caffe train --solver=` path):
+        # optimizer/schedule/snapshot knobs from the reference file, model
+        # and loss graph from --variant/--config.
+        from depthvo_tpu.io.solver_prototxt import apply_solver_prototxt
+
+        with open(args.solver) as f:
+            cfg, solver_extras = apply_solver_prototxt(f.read(), cfg)
+        if solver_extras["ignored"]:
+            print(f"solver: ignoring deploy-only fields "
+                  f"{solver_extras['ignored']} from {args.solver}")
+        if args.eval_every == 0 and "eval_every" in solver_extras:
+            args.eval_every = solver_extras["eval_every"]
+            args.eval_steps = solver_extras.get("eval_steps", args.eval_steps)
+        print(f"solver: {args.solver} -> {cfg.optim.optimizer}, "
+              f"lr={cfg.optim.learning_rate}, policy={cfg.optim.lr_policy}")
     if args.init_from:
         cfg = dataclasses.replace(cfg, init_from=args.init_from)
     if args.init_feat_from:
@@ -752,6 +768,11 @@ def main(argv=None) -> int:
                    help="experiment-config JSON (caffe train --solver "
                         "analog); supersedes --variant/--height/--width/"
                         "--batch-size")
+    p.add_argument("--solver", default=None,
+                   help="Caffe solver.prototxt to overlay on the config "
+                        "(the `caffe train --solver=` migration path: "
+                        "type/base_lr/lr_policy/momentum/stepvalue/"
+                        "max_iter/iter_size/snapshot/test_interval)")
     p.add_argument("--iter-size", type=int, default=1,
                    help="Caffe solver iter_size: accumulate gradients over "
                         "k micro-batches per optimizer update")
