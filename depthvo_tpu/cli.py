@@ -72,6 +72,42 @@ def _restore_or_make_config(args):
     return _make_config(args)
 
 
+def _state_with_caffe_weights(cfg, specs):
+    """``caffe train --weights=x.caffemodel`` analog: seat released blobs
+    into a fresh TrainState before training. ``specs`` are ``[net=]path``
+    strings (repeatable flag; default net ``depth``). Advanced import
+    knobs (name maps, mean/scale folding) live on ``import-caffemodel``;
+    convert there and use ``--init-from`` when those are needed."""
+    import jax
+
+    from depthvo_tpu.io import caffemodel, import_weights
+    from depthvo_tpu.train.state import create_state
+
+    state = create_state(cfg, jax.random.PRNGKey(cfg.seed))
+    params = dict(state.params)
+    stats = state.batch_stats
+    for spec in specs:
+        net, sep, path = spec.partition("=")
+        if not sep:
+            net, path = "depth", spec
+        if net not in params:
+            raise SystemExit(
+                f"--weights net {net!r} not in variant {cfg.name!r} "
+                f"(has: {sorted(params)})"
+            )
+        layers = caffemodel.parse_caffemodel(path)
+        net_stats = stats if net == "depth" else None
+        net_params, net_stats, report = import_weights.import_net(
+            layers, params[net], net_stats
+        )
+        params[net] = net_params
+        if net == "depth":
+            stats = net_stats
+        print(f"--weights: placed {len(report)} entries from {path} "
+              f"into net {net!r}")
+    return state.replace(params=params, batch_stats=stats)
+
+
 def _load_model(args):
     """Restore a DepthVO for eval/infer, preferring the config.json the
     train loop saved next to the checkpoint over CLI defaults."""
@@ -120,6 +156,17 @@ def cmd_train(args) -> int:
         cfg = dataclasses.replace(cfg, init_from=args.init_from)
     if args.init_feat_from:
         cfg = dataclasses.replace(cfg, init_feat_from=args.init_feat_from)
+    init_state = None
+    if getattr(args, "weights", None):
+        # `caffe train --weights=x.caffemodel` analog: seat released
+        # blobs into the fresh state, then train. Orthogonal to
+        # --init-from (orbax checkpoints); pick one.
+        if args.init_from:
+            print("--weights and --init-from are exclusive: --weights "
+                  "seats a .caffemodel, --init-from an orbax checkpoint "
+                  "(run import-caffemodel first to convert)")
+            return 2
+        init_state = _state_with_caffe_weights(cfg, args.weights)
     if args.iter_size > 1:
         cfg = dataclasses.replace(
             cfg, optim=dataclasses.replace(cfg.optim, iter_size=args.iter_size)
@@ -213,6 +260,7 @@ def cmd_train(args) -> int:
             eval_steps=args.eval_steps,
             sigint_effect=args.sigint_effect,
             sighup_effect=args.sighup_effect,
+            state=init_state,
         )
     finally:
         log.close()
@@ -790,6 +838,13 @@ def main(argv=None) -> int:
                    help="odometry sequences for --kitti-odom-root")
     p.add_argument("--train-list", default=None,
                    help="prepared sample list (see the `prep` subcommand)")
+    p.add_argument("--weights", action="append", default=None,
+                   metavar="[NET=]FILE.caffemodel",
+                   help="seat a .caffemodel into the fresh model before "
+                        "training (caffe train --weights analog; "
+                        "repeatable, NET in depth/odom/feat, default "
+                        "depth). For name maps / mean folding use "
+                        "import-caffemodel + --init-from instead")
     p.add_argument("--init-from", default=None,
                    help="previous stage checkpoint (staged finetune)")
     p.add_argument("--init-feat-from", default=None,

@@ -653,3 +653,57 @@ def test_bf16_peak_table_prefix_resolution():
     assert _bf16_peak_tflops("TPU v4") == 275.0
     assert _bf16_peak_tflops("TPU v6 lite") == 918.0
     assert _bf16_peak_tflops("TPU v7x") is None
+
+
+class TestTrainWeightsFlag:
+    """`train --weights x.caffemodel` (cli._state_with_caffe_weights):
+    the caffe train --weights analog seats exporter-written blobs into a
+    fresh TrainState exactly."""
+
+    def test_seats_depth_net(self, tmp_path):
+        from depthvo_tpu.cli import _state_with_caffe_weights
+        from depthvo_tpu.configs import base as configs
+        from depthvo_tpu.io.export_weights import export_caffemodel
+        from depthvo_tpu.train.state import create_state
+
+        cfg = configs.tiny_test()
+        src = create_state(cfg, jax.random.PRNGKey(7))
+        path = str(tmp_path / "depth.caffemodel")
+        export_caffemodel(src.params["depth"], src.batch_stats, path)
+
+        st = _state_with_caffe_weights(cfg, [f"depth={path}"])
+        for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(st.params["depth"]),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(src.params["depth"]),
+                   key=lambda kv: str(kv[0])),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, err_msg=str(pa)
+            )
+        # other nets stay at the fresh init (seed cfg.seed=0 != 7)
+        fresh = create_state(cfg, jax.random.PRNGKey(cfg.seed))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(st.params["odom"]),
+            jax.tree_util.tree_leaves(fresh.params["odom"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_default_net_is_depth_and_bad_net_rejected(self, tmp_path):
+        from depthvo_tpu.cli import _state_with_caffe_weights
+        from depthvo_tpu.configs import base as configs
+        from depthvo_tpu.io.export_weights import export_caffemodel
+        from depthvo_tpu.train.state import create_state
+
+        cfg = configs.tiny_test()
+        src = create_state(cfg, jax.random.PRNGKey(7))
+        path = str(tmp_path / "d.caffemodel")
+        export_caffemodel(src.params["depth"], src.batch_stats, path)
+        st = _state_with_caffe_weights(cfg, [path])  # bare path -> depth
+        leaf = jax.tree_util.tree_leaves(st.params["depth"])[0]
+        src_leaf = jax.tree_util.tree_leaves(src.params["depth"])[0]
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(src_leaf), rtol=1e-6
+        )
+        with pytest.raises(SystemExit, match="not in variant"):
+            _state_with_caffe_weights(cfg, [f"pose={path}"])
