@@ -60,6 +60,59 @@ def _make_config(args):
     return cfg
 
 
+def _apply_solver_net(args, solver_text):
+    """Resolve and recognize the solver's ``net:`` prototxt.
+
+    Returns the net's config overrides (loss weights, importer-facing
+    ``input_mean``/``input_scale``) and seats variant/batch/size onto
+    ``args`` — but only where the user left the flag at its parser
+    default (``--variant full_feat`` typed explicitly is
+    indistinguishable from the default; the resolution is printed so
+    nothing is silent). Missing net files warn and fall back to flags:
+    reference solver files point at paths that need not exist here.
+    """
+    from depthvo_tpu.io.net_prototxt import (
+        config_overrides, extract_facts, format_report, parse_prototxt,
+    )
+    from depthvo_tpu.io.solver_prototxt import parse_solver_prototxt
+
+    fields = parse_solver_prototxt(solver_text)
+    net_path = fields.get("net") or fields.get("train_net")
+    if not isinstance(net_path, str):
+        return {}
+    if not os.path.isabs(net_path):
+        net_path = os.path.join(
+            os.path.dirname(os.path.abspath(args.solver)), net_path
+        )
+    if not os.path.isfile(net_path):
+        print(f"solver: net file {net_path} not found; "
+              f"using --variant {args.variant}")
+        return {}
+    with open(net_path) as f:
+        facts = extract_facts(parse_prototxt(f.read()))
+    over, notes = config_overrides(facts)
+    print(format_report(facts, over))
+    for n in notes:
+        print(f"net: {n}")
+    if facts.kind != "train_graph":
+        print(f"net: {net_path} is a {facts.kind} deploy graph, not a "
+              "training graph; keeping --variant "
+              f"{args.variant} (pair deploy files with import-caffemodel)")
+        return {}
+    # CLI flags at their parser defaults yield to the net file.
+    if "variant" in over and args.variant == "full_feat":
+        args.variant = over["variant"]
+    if "batch_size" in over and args.batch_size == 4:
+        args.batch_size = over["batch_size"]
+    if args.height is None and "height" in over:
+        args.height = over["height"]
+    if args.width is None and "width" in over:
+        args.width = over["width"]
+    print(f"net: -> variant={args.variant} batch={args.batch_size} "
+          f"size={args.height or 'default'}x{args.width or 'default'}")
+    return over
+
+
 def _restore_or_make_config(args):
     """The checkpoint's saved config.json wins over CLI defaults (it
     records the trained architecture); else build from the CLI flags."""
@@ -72,11 +125,14 @@ def _restore_or_make_config(args):
     return _make_config(args)
 
 
-def _state_with_caffe_weights(cfg, specs):
+def _state_with_caffe_weights(cfg, specs, input_mean=None, input_scale=1.0):
     """``caffe train --weights=x.caffemodel`` analog: seat released blobs
     into a fresh TrainState before training. ``specs`` are ``[net=]path``
-    strings (repeatable flag; default net ``depth``). Advanced import
-    knobs (name maps, mean/scale folding) live on ``import-caffemodel``;
+    strings (repeatable flag; default net ``depth``). ``input_mean``/
+    ``input_scale`` come from the solver net's ``transform_param`` when
+    one was recognized — the data-layer preprocessing folds into each
+    imported net's input conv, exactly as `caffe train` would apply it.
+    Other advanced import knobs (name maps) live on ``import-caffemodel``;
     convert there and use ``--init-from`` when those are needed."""
     import jax
 
@@ -98,7 +154,8 @@ def _state_with_caffe_weights(cfg, specs):
         layers = caffemodel.parse_caffemodel(path)
         net_stats = stats if net == "depth" else None
         net_params, net_stats, report = import_weights.import_net(
-            layers, params[net], net_stats
+            layers, params[net], net_stats,
+            input_mean=input_mean, input_scale=input_scale,
         )
         params[net] = net_params
         if net == "depth":
@@ -135,23 +192,40 @@ def cmd_train(args) -> int:
 
     import dataclasses
 
-    cfg = _make_config(args)
+    solver_text = None
+    net_overrides = {}
     if getattr(args, "solver", None):
+        with open(args.solver) as f:
+            solver_text = f.read()
+        # Honor the solver's `net:`/`train_net:` pointer (the missing leg
+        # of the `caffe train --solver=` migration): the net prototxt is
+        # RECOGNIZED, not executed (SURVEY.md §7 design stance) — it
+        # selects the native variant and supplies batch / input size /
+        # loss weights, which explicit CLI flags still override.
+        net_overrides = _apply_solver_net(args, solver_text)
+    cfg = _make_config(args)
+    if solver_text is not None:
         # Caffe solver.prototxt overlay (the `caffe train --solver=` path):
         # optimizer/schedule/snapshot knobs from the reference file, model
-        # and loss graph from --variant/--config.
+        # and loss graph from the net prototxt / --variant / --config.
         from depthvo_tpu.io.solver_prototxt import apply_solver_prototxt
 
-        with open(args.solver) as f:
-            cfg, solver_extras = apply_solver_prototxt(f.read(), cfg)
-        if solver_extras["ignored"]:
+        cfg, solver_extras = apply_solver_prototxt(solver_text, cfg)
+        ignored = [k for k in solver_extras["ignored"]
+                   if k not in ("net", "train_net") or not net_overrides]
+        if ignored:
             print(f"solver: ignoring deploy-only fields "
-                  f"{solver_extras['ignored']} from {args.solver}")
+                  f"{ignored} from {args.solver}")
         if args.eval_every == 0 and "eval_every" in solver_extras:
             args.eval_every = solver_extras["eval_every"]
             args.eval_steps = solver_extras.get("eval_steps", args.eval_steps)
         print(f"solver: {args.solver} -> {cfg.optim.optimizer}, "
               f"lr={cfg.optim.learning_rate}, policy={cfg.optim.lr_policy}")
+        loss_fields = {k: v for k, v in net_overrides.items()
+                       if k.endswith("_weight")}
+        if loss_fields:
+            cfg = dataclasses.replace(cfg, **loss_fields)
+            print(f"net: loss weights from the net prototxt: {loss_fields}")
     if args.init_from:
         cfg = dataclasses.replace(cfg, init_from=args.init_from)
     if args.init_feat_from:
@@ -166,7 +240,16 @@ def cmd_train(args) -> int:
                   "seats a .caffemodel, --init-from an orbax checkpoint "
                   "(run import-caffemodel first to convert)")
             return 2
-        init_state = _state_with_caffe_weights(cfg, args.weights)
+        mean = net_overrides.get("input_mean")
+        scale = net_overrides.get("input_scale", 1.0)
+        if mean is None and scale != 1.0:
+            mean = [0.0, 0.0, 0.0]  # scale-only transform_param
+        if mean is not None:
+            print(f"net: folding transform_param mean={mean} scale={scale} "
+                  "into the imported input conv(s)")
+        init_state = _state_with_caffe_weights(
+            cfg, args.weights, input_mean=mean, input_scale=scale
+        )
     if args.iter_size > 1:
         cfg = dataclasses.replace(
             cfg, optim=dataclasses.replace(cfg.optim, iter_size=args.iter_size)
@@ -601,6 +684,28 @@ def cmd_import_caffemodel(args) -> int:
         [float(x) for x in args.input_mean.split(",")]
         if args.input_mean else None
     )
+    if getattr(args, "proto", None):
+        # Companion prototxt: verify the file pairs with --net and pull
+        # the data layer's preprocessing when flags don't set it.
+        from depthvo_tpu.io import net_prototxt
+
+        with open(args.proto) as f:
+            facts = net_prototxt.extract_facts(
+                net_prototxt.parse_prototxt(f.read())
+            )
+        kind_for = {"depth": "depth", "odom": "odometry", "feat": "feature"}
+        want = kind_for[args.net]
+        if facts.kind not in (want, "train_graph"):
+            print(f"--proto {args.proto} describes a {facts.kind} net, "
+                  f"but --net {args.net} expects {want}; refusing "
+                  "(pass the matching prototxt or drop --proto)")
+            return 2
+        if mean is None and facts.mean_values:
+            mean = [float(v) for v in facts.mean_values]
+            print(f"proto: transform_param mean_value -> {mean}")
+        if args.input_scale == 1.0 and facts.scale is not None:
+            args.input_scale = facts.scale
+            print(f"proto: transform_param scale -> {args.input_scale}")
     stats = state.batch_stats if args.net == "depth" else None
     net_params, stats, report = import_weights.import_net(
         layers,
@@ -632,6 +737,32 @@ def cmd_import_caffemodel(args) -> int:
         )
         print(f"wrote checkpoint -> {args.checkpoint_dir}")
     return 0
+
+
+def cmd_net_info(args) -> int:
+    """Recognize a Caffe NetParameter prototxt: which of the three
+    Depth-VO-Feat networks it is, input geometry, preprocessing, loss
+    weights, and the native config overrides it maps to (SURVEY.md §2a
+    network/training-graph rows — recognized, never executed)."""
+    from depthvo_tpu.io.net_prototxt import (
+        config_overrides, extract_facts, format_report, parse_prototxt,
+    )
+
+    with open(args.prototxt) as f:
+        facts = extract_facts(parse_prototxt(f.read()))
+    over, notes = config_overrides(facts)
+    print(format_report(facts, over))
+    for n in notes:
+        print(f"note: {n}")
+    if args.json:
+        import dataclasses as _dc
+
+        blob = _dc.asdict(facts)
+        blob["overrides"] = over
+        with open(args.json, "w") as f:
+            json.dump(blob, f, indent=2, default=str)
+        print(f"wrote {args.json}")
+    return 0 if facts.kind != "unknown" else 1
 
 
 def cmd_export_serving(args) -> int:
@@ -991,7 +1122,21 @@ def main(argv=None) -> int:
                    help="dotted path of the BN absorbing the fold offset")
     p.add_argument("--lenient", action="store_true",
                    help="don't fail on unmatched params")
+    p.add_argument("--proto", default=None,
+                   help="the weights' companion prototxt: checks it "
+                        "describes the --net target and supplies "
+                        "transform_param mean/scale automatically")
     p.set_defaults(fn=cmd_import_caffemodel)
+
+    p = sub.add_parser(
+        "net-info",
+        help="recognize a Caffe net prototxt (kind, input dims, "
+             "preprocessing, loss weights -> native config)",
+    )
+    p.add_argument("prototxt")
+    p.add_argument("--json", default=None,
+                   help="also write the facts + overrides as JSON")
+    p.set_defaults(fn=cmd_net_info)
 
     p = sub.add_parser(
         "device-query",
