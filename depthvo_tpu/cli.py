@@ -739,6 +739,49 @@ def cmd_import_caffemodel(args) -> int:
     return 0
 
 
+def cmd_make_name_map(args) -> int:
+    """Derive the {caffe_layer -> flax path} map a released `.caffemodel`
+    needs for trustworthy name-based import (SURVEY.md §7 step 2), with
+    an audit report that flags every placement resting on within-shape-
+    class ordering. Output feeds `import-caffemodel --name-map`."""
+    import jax
+
+    from depthvo_tpu.io import caffemodel, name_map
+    from depthvo_tpu.train.state import create_state
+
+    cfg = _make_config(args)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    if args.net not in state.params:
+        print(f"net '{args.net}' not in variant '{cfg.name}' "
+              f"(has: {sorted(state.params)})")
+        return 2
+    layers = caffemodel.parse_caffemodel(args.caffemodel)
+    facts = None
+    if args.proto:
+        from depthvo_tpu.io import net_prototxt
+
+        with open(args.proto) as f:
+            facts = net_prototxt.extract_facts(
+                net_prototxt.parse_prototxt(f.read())
+            )
+    stats = state.batch_stats if args.net == "depth" else None
+    try:
+        map_json, entries, problems = name_map.generate_name_map(
+            layers, state.params[args.net], stats,
+            proto_facts=facts, strict=not args.lenient,
+        )
+    except ValueError as e:
+        print(e)
+        return 2
+    print(name_map.format_map_report(entries, problems))
+    with open(args.output, "w") as f:
+        json.dump(map_json, f, indent=2, sort_keys=True)
+    print(f"wrote {args.output} ({len(map_json['convs'])} convs, "
+          f"{len(map_json['bns'])} bns) — review the order-trusted rows, "
+          "then: import-caffemodel --name-map " + args.output)
+    return 0 if not problems else 1
+
+
 def cmd_net_info(args) -> int:
     """Recognize a Caffe NetParameter prototxt: which of the three
     Depth-VO-Feat networks it is, input geometry, preprocessing, loss
@@ -1127,6 +1170,22 @@ def main(argv=None) -> int:
                         "describes the --net target and supplies "
                         "transform_param mean/scale automatically")
     p.set_defaults(fn=cmd_import_caffemodel)
+
+    p = sub.add_parser(
+        "make-name-map",
+        help="derive the name map a released .caffemodel needs for "
+             "name-based import (audit report + JSON for --name-map)",
+    )
+    _add_common(p)
+    p.add_argument("--caffemodel", required=True)
+    p.add_argument("--net", default="depth", choices=["depth", "odom", "feat"])
+    p.add_argument("--proto", default=None,
+                   help="companion prototxt: cross-checks declared "
+                        "layers/num_output against the weights file")
+    p.add_argument("--output", default="name_map.json")
+    p.add_argument("--lenient", action="store_true",
+                   help="report unmatched entries instead of failing")
+    p.set_defaults(fn=cmd_make_name_map)
 
     p = sub.add_parser(
         "net-info",

@@ -203,6 +203,11 @@ class NetFacts:
     mean_values: Optional[Tuple[float, ...]] = None  # BGR, Caffe order
     scale: Optional[float] = None
     losses: List[LossFact] = dataclasses.field(default_factory=list)
+    # (layer_name, num_output) for every weight-carrying layer, in graph
+    # order — the cross-check source for io/name_map.py
+    learnable_layers: List[Tuple[str, int]] = dataclasses.field(
+        default_factory=list
+    )
     geometry_types: List[str] = dataclasses.field(default_factory=list)
     has_pose_head: bool = False  # InnerProduct with num_output == 6
     has_decoder: bool = False  # Deconvolution / Upsample layers
@@ -310,6 +315,15 @@ def extract_facts(msg: Dict[str, Any]) -> NetFacts:
             ipp = _first_param(layer, "inner_product_param")
             if ipp and int(ipp.get("num_output", 0)) == 6:
                 f.has_pose_head = True
+        lowt = t.lower()
+        if lowt in ("convolution", "deconvolution", "innerproduct",
+                    "inner_product"):
+            p = _first_param(
+                layer, "convolution_param", "inner_product_param"
+            )
+            f.learnable_layers.append(
+                (name, int(p.get("num_output", 0)) if p else 0)
+            )
         lw = layer.get("loss_weight")
         is_loss = "loss" in t.lower() or lw is not None
         if is_loss:
