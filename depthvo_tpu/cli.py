@@ -410,6 +410,21 @@ def cmd_test(args) -> int:
 def cmd_eval_depth(args) -> int:
     from depthvo_tpu.eval.runner import run_depth_eval
 
+    if args.pred_path:
+        # Reference's second phase alone: saved predictions (any
+        # source, incl. the original Caffe tooling's dumps) through the
+        # identical metric pass — no model, no device.
+        metrics = run_depth_eval(
+            checkpoint_dir=None,
+            kitti_root=args.kitti_root,
+            split_file=args.split_file,
+            max_depth=args.max_depth,
+            median_scale=not args.no_median_scale,
+            pred_path=args.pred_path,
+            pred_inverse=args.pred_inverse,
+        )
+        print(json.dumps(metrics, indent=2))
+        return 0
     model = _load_model(args)
     h, w = _model_resolution(args, model)
     metrics = run_depth_eval(
@@ -1078,6 +1093,15 @@ def main(argv=None) -> int:
     p.add_argument("--no-median-scale", action="store_true",
                    help="report unscaled metrics (stereo-trained models "
                         "are metric; the reference's protocol for them)")
+    p.add_argument("--pred-path", default=None,
+                   help="evaluate SAVED predictions instead of a model: "
+                        "a (N,H,W) .npy/.npz stack or a directory "
+                        "(--save-preds output, or per-frame *.npy) — the "
+                        "reference's two-phase eval_depth protocol; works "
+                        "on predictions from any framework")
+    p.add_argument("--pred-inverse", action="store_true",
+                   help="stored maps are inverse depth (raw net output); "
+                        "invert before the metric pass")
     p.set_defaults(fn=cmd_eval_depth)
 
     p = sub.add_parser("eval-odom", help="KITTI odometry seq eval (t_err/r_err/ATE)")

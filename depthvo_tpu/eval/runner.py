@@ -165,6 +165,8 @@ def run_depth_eval(
     model: DepthVO | None = None,
     num_devices: int | None = None,
     median_scale: bool = True,
+    pred_path: str | None = None,
+    pred_inverse: bool = False,
 ) -> Dict[str, float]:
     """Eigen-split depth benchmark: read test frames + gt depth npz/npy,
     run batched inference, resize to gt, compute the metric table.
@@ -172,6 +174,15 @@ def run_depth_eval(
     ``split_file`` lines: `<relative_image_path> <relative_gt_depth_npy>`.
     Comment lines (``#``) are skipped; a ``# split-source: ...`` header
     (written by ``prep-eigen``) is read as provenance.
+
+    ``pred_path`` makes the run the reference's SECOND phase only
+    (SURVEY.md §3.2: predictions saved as .npy, then ``eval_depth``):
+    no model runs — saved predictions from ANY source (this framework's
+    ``save_preds_dir`` stack, the original Caffe tooling's dumps, a
+    directory of per-frame ``.npy``) go through the identical crop/cap/
+    scale metric pass, which is how metric-protocol parity is checked
+    against the reference's own outputs. ``pred_inverse`` treats the
+    stored maps as inverse depth (the raw network output convention).
 
     The returned dict carries a ``split`` sub-dict —
     ``{split_file, n_frames, canonical, source}`` — and a warning is
@@ -183,7 +194,7 @@ def run_depth_eval(
 
     from depthvo_tpu.data.kitti import load_image_u8
 
-    if model is None:
+    if model is None and pred_path is None:
         model = (
             DepthVO.from_checkpoint(checkpoint_dir)
             if checkpoint_dir
@@ -202,10 +213,17 @@ def run_depth_eval(
                 continue
             img_path = os.path.join(kitti_root, parts[0])
             gt_path = os.path.join(kitti_root, parts[1])
-            # uint8: normalized on-device (4x fewer upload bytes —
-            # see predict_depths and data/kitti.py::load_image_u8).
-            frames.append(load_image_u8(img_path, height, width))
+            if pred_path is None:
+                # uint8: normalized on-device (4x fewer upload bytes —
+                # see predict_depths and data/kitti.py::load_image_u8).
+                frames.append(load_image_u8(img_path, height, width))
             gts.append(np.load(gt_path))
+    if pred_path is not None:
+        return _eval_saved_predictions(
+            pred_path, gts, split_file, split_source,
+            max_depth=max_depth, median_scale=median_scale,
+            pred_inverse=pred_inverse,
+        )
     mesh = None
     if num_devices is not None and num_devices > 1:
         # Data-parallel eval: weights replicated, batches sharded on
@@ -247,7 +265,19 @@ def run_depth_eval(
             os.path.join(save_preds_dir, "depth_predictions.npy"),
             np.stack(raw_preds),
         )
-    n = len(frames)
+    return _finish_depth_eval(
+        preds_resized, gts, split_file, split_source,
+        max_depth=max_depth, median_scale=median_scale,
+    )
+
+
+def _finish_depth_eval(
+    preds_resized, gts, split_file, split_source, *,
+    max_depth, median_scale, extra_split: Dict | None = None,
+) -> Dict[str, float]:
+    import warnings
+
+    n = len(gts)
     canonical = n == 697 and "derived" not in split_source
     if not canonical:
         warnings.warn(
@@ -268,8 +298,66 @@ def run_depth_eval(
         # reference reports them UNSCALED; monocular protocols median-
         # scale. Record which one produced these numbers.
         "median_scale": median_scale,
+        **(extra_split or {}),
     }
     return metrics
+
+
+def _load_saved_predictions(pred_path: str) -> List[np.ndarray]:
+    """Saved predictions: a stacked ``.npy``/``.npz`` (N,H,W), or a
+    directory holding either ``depth_predictions.npy`` (our
+    ``save_preds_dir`` format) or per-frame ``*.npy`` in sorted order."""
+    if os.path.isdir(pred_path):
+        stack = os.path.join(pred_path, "depth_predictions.npy")
+        if os.path.isfile(stack):
+            return list(np.load(stack))
+        files = sorted(
+            f for f in os.listdir(pred_path) if f.endswith(".npy")
+        )
+        if not files:
+            raise FileNotFoundError(
+                f"{pred_path}: no depth_predictions.npy and no *.npy files"
+            )
+        return [np.load(os.path.join(pred_path, f)) for f in files]
+    arr = np.load(pred_path)
+    if hasattr(arr, "files"):  # npz: take the first array
+        arr = arr[arr.files[0]]
+    if arr.ndim != 3:
+        raise ValueError(
+            f"{pred_path}: expected a (N, H, W) stack, got {arr.shape}"
+        )
+    return list(arr)
+
+
+def _eval_saved_predictions(
+    pred_path, gts, split_file, split_source, *,
+    max_depth, median_scale, pred_inverse,
+) -> Dict[str, float]:
+    from PIL import Image
+
+    preds = _load_saved_predictions(pred_path)
+    if len(preds) != len(gts):
+        raise ValueError(
+            f"{pred_path} holds {len(preds)} predictions but the split "
+            f"file lists {len(gts)} frames"
+        )
+    resized = []
+    for p, g in zip(preds, gts):
+        p = np.asarray(p, np.float32)
+        if pred_inverse:
+            p = 1.0 / np.maximum(p, 1e-6)
+        im = Image.fromarray(p, mode="F")
+        resized.append(
+            np.asarray(im.resize((g.shape[1], g.shape[0]), Image.BILINEAR))
+        )
+    return _finish_depth_eval(
+        resized, gts, split_file, split_source,
+        max_depth=max_depth, median_scale=median_scale,
+        extra_split={
+            "predictions": os.path.abspath(pred_path),
+            "pred_inverse": pred_inverse,
+        },
+    )
 
 
 def run_odometry_eval(

@@ -283,3 +283,75 @@ def test_cli_device_query(capsys):
     out = capsys.readouterr().out
     assert "backend:" in out and "devices: 8" in out
     assert out.count("(platform=") == 8
+
+
+class TestSavedPredictionEval:
+    """--pred-path: the reference's two-phase eval_depth protocol
+    (SURVEY §3.2) — saved predictions from any source, no model."""
+
+    def _save_then_eval(self, eigen_tree, tmp_path):
+        root, split = eigen_tree
+        preds_dir = str(tmp_path / "preds")
+        with pytest.warns(UserWarning, match="NON-CANONICAL"):
+            live = run_depth_eval(
+                checkpoint_dir=None, kitti_root=root, split_file=split,
+                height=32, width=96, batch_size=2,
+                save_preds_dir=preds_dir,
+            )
+        return root, split, preds_dir, live
+
+    def test_stack_reproduces_live_metrics(self, eigen_tree, tmp_path):
+        root, split, preds_dir, live = self._save_then_eval(
+            eigen_tree, tmp_path
+        )
+        with pytest.warns(UserWarning, match="NON-CANONICAL"):
+            offline = run_depth_eval(
+                checkpoint_dir=None, kitti_root=root, split_file=split,
+                pred_path=os.path.join(preds_dir, "depth_predictions.npy"),
+            )
+        for k in ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"):
+            np.testing.assert_allclose(offline[k], live[k], rtol=1e-6,
+                                       err_msg=k)
+        assert offline["split"]["predictions"].endswith(
+            "depth_predictions.npy"
+        )
+        assert offline["split"]["pred_inverse"] is False
+
+    def test_directory_forms_and_inverse(self, eigen_tree, tmp_path):
+        root, split, preds_dir, live = self._save_then_eval(
+            eigen_tree, tmp_path
+        )
+        # Directory containing the stack file:
+        with pytest.warns(UserWarning, match="NON-CANONICAL"):
+            from_dir = run_depth_eval(
+                checkpoint_dir=None, kitti_root=root, split_file=split,
+                pred_path=preds_dir,
+            )
+        np.testing.assert_allclose(from_dir["abs_rel"], live["abs_rel"],
+                                   rtol=1e-6)
+        # Per-frame files + inverse-depth convention:
+        stack = np.load(os.path.join(preds_dir, "depth_predictions.npy"))
+        per_frame = tmp_path / "per_frame"
+        per_frame.mkdir()
+        for i, p in enumerate(stack):
+            np.save(per_frame / f"{i:06d}.npy", 1.0 / np.maximum(p, 1e-6))
+        with pytest.warns(UserWarning, match="NON-CANONICAL"):
+            inv = run_depth_eval(
+                checkpoint_dir=None, kitti_root=root, split_file=split,
+                pred_path=str(per_frame), pred_inverse=True,
+            )
+        np.testing.assert_allclose(inv["abs_rel"], live["abs_rel"],
+                                   rtol=1e-4)
+
+    def test_count_mismatch_raises(self, eigen_tree, tmp_path):
+        root, split, preds_dir, _ = self._save_then_eval(
+            eigen_tree, tmp_path
+        )
+        stack = np.load(os.path.join(preds_dir, "depth_predictions.npy"))
+        short = tmp_path / "short.npy"
+        np.save(short, stack[:-1])
+        with pytest.raises(ValueError, match="2 predictions"):
+            run_depth_eval(
+                checkpoint_dir=None, kitti_root=root, split_file=split,
+                pred_path=str(short),
+            )
