@@ -446,6 +446,18 @@ def cmd_eval_depth(args) -> int:
 def cmd_eval_odom(args) -> int:
     from depthvo_tpu.eval.runner import run_odometry_eval
 
+    if args.pose_file:
+        # Devkit phase alone: score an existing KITTI-format pose file
+        # (any VO system's output) against ground truth — no model.
+        metrics = run_odometry_eval(
+            checkpoint_dir=None,
+            kitti_odom_root=args.kitti_root,
+            sequence=args.sequence,
+            output_dir=args.output_dir,
+            pose_file=args.pose_file,
+        )
+        print(json.dumps(metrics, indent=2))
+        return 0
     model = _load_model(args)
     h, w = _model_resolution(args, model)
     metrics = run_odometry_eval(
@@ -1109,6 +1121,11 @@ def main(argv=None) -> int:
     p.add_argument("--kitti-root", required=True)
     p.add_argument("--sequence", default="09")
     p.add_argument("--output-dir", default="./odom_out")
+    p.add_argument("--pose-file", default=None,
+                   help="score an existing KITTI-format pose file (any "
+                        "VO system's output) against the sequence's "
+                        "ground truth instead of running the model — "
+                        "the reference's two-phase eval_odom protocol")
     p.set_defaults(fn=cmd_eval_odom)
 
     p = sub.add_parser("infer", help="depth maps for a directory of frames")

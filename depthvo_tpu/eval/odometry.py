@@ -199,6 +199,23 @@ def write_kitti_poses(poses: np.ndarray, path: str) -> None:
             f.write(" ".join(f"{x:.9e}" for x in T[:3, :4].reshape(-1)) + "\n")
 
 
+def read_kitti_poses(path: str) -> np.ndarray:
+    """Inverse of :func:`write_kitti_poses`: KITTI odometry pose file
+    (12 floats per row, the devkit / ground-truth format) -> (N, 4, 4)
+    cam-to-world homogeneous transforms."""
+    raw = np.loadtxt(path, dtype=np.float64)
+    if raw.ndim == 1:
+        raw = raw[None]
+    if raw.shape[1] != 12:
+        raise ValueError(
+            f"{path}: expected 12 values per row (KITTI pose format), "
+            f"got {raw.shape[1]}"
+        )
+    raw = raw.reshape(-1, 3, 4)
+    bottom = np.tile(np.array([[0.0, 0.0, 0.0, 1.0]]), (raw.shape[0], 1, 1))
+    return np.concatenate([raw, bottom], axis=1)
+
+
 def plot_trajectory(
     pred_poses: np.ndarray,
     gt_poses: np.ndarray | None,

@@ -368,9 +368,49 @@ def run_odometry_eval(
     height: int = 160,
     width: int = 608,
     model: DepthVO | None = None,
+    pose_file: str | None = None,
 ) -> Dict[str, float]:
     """Seq eval: predict trajectory, write KITTI pose file, devkit
-    metrics + ATE against ground truth."""
+    metrics + ATE against ground truth.
+
+    ``pose_file`` runs the devkit phase alone (SURVEY.md §3.3's
+    ``eval_odom``): an existing KITTI-format pose file — from this
+    framework's ``output_dir``, the original Caffe tooling, or any other
+    VO system — is scored against the sequence's ground truth; no model
+    runs."""
+    if pose_file is not None:
+        from depthvo_tpu.eval.odometry import read_kitti_poses
+
+        poses = read_kitti_poses(pose_file)
+        gt_path = os.path.join(kitti_odom_root, "poses", sequence + ".txt")
+        gt_poses = (
+            read_kitti_poses(gt_path) if os.path.isfile(gt_path) else None
+        )
+        if output_dir:
+            from depthvo_tpu.eval.odometry import plot_trajectory
+
+            os.makedirs(output_dir, exist_ok=True)
+            plot_trajectory(
+                poses, gt_poses,
+                os.path.join(output_dir, f"{sequence}.png"),
+                title=f"seq {sequence} ({os.path.basename(pose_file)})",
+            )
+        result: Dict[str, float] = {
+            "sequence": sequence,
+            "frames": len(poses),
+            "pose_file": os.path.abspath(pose_file),
+        }
+        if gt_poses is not None:
+            if len(gt_poses) != len(poses):
+                raise ValueError(
+                    f"{pose_file} holds {len(poses)} poses but ground "
+                    f"truth for seq {sequence} has {len(gt_poses)}"
+                )
+            result.update(kitti_odometry_errors(poses, gt_poses))
+            result["ate_m"] = ate(poses, gt_poses)
+            result.update(snippet_ate(poses, gt_poses))
+        return result
+
     from depthvo_tpu.data.kitti import KittiOdometrySequence
 
     if model is None:

@@ -191,3 +191,86 @@ class TestSnippetATE:
         m_ume = snippet_ate_umeyama(pred, gt)
         assert m_sfm["snippet_ate_mean"] > 0.1
         assert m_ume["snippet_ate_umeyama_mean"] == pytest.approx(0.0, abs=1e-9)
+
+
+class TestPoseFileEval:
+    """eval-odom --pose-file: the devkit phase alone over an existing
+    KITTI-format pose file (reference two-phase eval_odom, SURVEY §3.3)."""
+
+    def _curved_poses(self, n=40, step=2.0):
+        # A gently curving trajectory so devkit segments exist.
+        poses = [np.eye(4)]
+        T = np.eye(4)
+        for i in range(n):
+            d = np.eye(4)
+            ang = 0.01
+            d[0, 0] = d[2, 2] = np.cos(ang)
+            d[0, 2] = np.sin(ang)
+            d[2, 0] = -np.sin(ang)
+            d[2, 3] = step
+            T = T @ d
+            poses.append(T.copy())
+        return np.asarray(poses)
+
+    def test_read_write_round_trip(self, tmp_path):
+        from depthvo_tpu.eval.odometry import read_kitti_poses
+
+        poses = self._curved_poses(12)
+        path = tmp_path / "09.txt"
+        write_kitti_poses(poses, str(path))
+        back = read_kitti_poses(str(path))
+        np.testing.assert_allclose(back, poses, rtol=0, atol=1e-7)
+
+    def test_read_rejects_wrong_width(self, tmp_path):
+        from depthvo_tpu.eval.odometry import read_kitti_poses
+
+        p = tmp_path / "bad.txt"
+        p.write_text("1 2 3 4\n")
+        with pytest.raises(ValueError, match="12 values"):
+            read_kitti_poses(str(p))
+
+    def test_pose_file_eval_scores_against_gt(self, tmp_path):
+        from depthvo_tpu.eval.runner import run_odometry_eval
+
+        gt = self._curved_poses(80, step=2.0)
+        root = tmp_path / "odom"
+        (root / "poses").mkdir(parents=True)
+        write_kitti_poses(gt, str(root / "poses" / "09.txt"))
+
+        # Perfect file -> zero errors.
+        pred_path = tmp_path / "pred.txt"
+        write_kitti_poses(gt, str(pred_path))
+        out = run_odometry_eval(
+            checkpoint_dir=None, kitti_odom_root=str(root),
+            sequence="09", output_dir=str(tmp_path / "plots"),
+            pose_file=str(pred_path),
+        )
+        assert out["frames"] == 80 + 1
+        assert out["ate_m"] == pytest.approx(0.0, abs=1e-9)
+        assert out["pose_file"].endswith("pred.txt")
+        assert (tmp_path / "plots" / "09.png").is_file()
+
+        # Perturbed file -> positive errors.
+        noisy = gt.copy()
+        noisy[:, 0, 3] += np.linspace(0, 3.0, len(gt))
+        write_kitti_poses(noisy, str(pred_path))
+        out2 = run_odometry_eval(
+            checkpoint_dir=None, kitti_odom_root=str(root),
+            sequence="09", output_dir=None, pose_file=str(pred_path),
+        )
+        assert out2["ate_m"] > 0.05
+
+    def test_pose_file_length_mismatch_raises(self, tmp_path):
+        from depthvo_tpu.eval.runner import run_odometry_eval
+
+        gt = self._curved_poses(20)
+        root = tmp_path / "odom"
+        (root / "poses").mkdir(parents=True)
+        write_kitti_poses(gt, str(root / "poses" / "10.txt"))
+        pred_path = tmp_path / "pred.txt"
+        write_kitti_poses(gt[:-3], str(pred_path))
+        with pytest.raises(ValueError, match="ground"):
+            run_odometry_eval(
+                checkpoint_dir=None, kitti_odom_root=str(root),
+                sequence="10", output_dir=None, pose_file=str(pred_path),
+            )
