@@ -766,6 +766,148 @@ def cmd_import_caffemodel(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """One-shot migration: reference files in, native experiment out.
+
+    solver.prototxt (+ its net:/train_net: graph) and .caffemodel weight
+    files become a ready-to-run experiment directory: config.json (the
+    whole ExperimentConfig), per-net audited name maps, and an orbax
+    checkpoint with the weights seated (transform_param mean/scale folded
+    into the input convs). Chains net-info -> make-name-map ->
+    import-caffemodel -> config save, the four steps a migrating user
+    would otherwise run by hand (SURVEY.md §7 step 2)."""
+    import dataclasses
+
+    import jax
+
+    from depthvo_tpu import configs
+    from depthvo_tpu.configs import base as config_io
+    from depthvo_tpu.io import caffemodel, checkpoint, import_weights
+    from depthvo_tpu.io import name_map as nm
+    from depthvo_tpu.io.net_prototxt import (
+        config_overrides, extract_facts, format_report, parse_prototxt,
+    )
+    from depthvo_tpu.io.solver_prototxt import (
+        apply_solver_prototxt, parse_solver_prototxt,
+    )
+    from depthvo_tpu.train.state import create_state
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    # 1. Locate + recognize the net prototxt (explicit --proto wins over
+    #    the solver's net: pointer).
+    solver_text = None
+    net_path = args.proto
+    if args.solver:
+        with open(args.solver) as f:
+            solver_text = f.read()
+        if net_path is None:
+            fields = parse_solver_prototxt(solver_text)
+            p = fields.get("net") or fields.get("train_net")
+            if isinstance(p, str):
+                net_path = p if os.path.isabs(p) else os.path.join(
+                    os.path.dirname(os.path.abspath(args.solver)), p
+                )
+    over = {}
+    facts = None
+    if net_path and os.path.isfile(net_path):
+        with open(net_path) as f:
+            facts = extract_facts(parse_prototxt(f.read()))
+        over, notes = config_overrides(facts)
+        print(format_report(facts, over))
+        for n in notes:
+            print(f"net: {n}")
+    elif net_path:
+        print(f"convert: net file {net_path} not found; using flags")
+
+    # 2. Build the config: net facts fill what flags left at defaults.
+    variant = args.variant if args.variant != "full_feat" else (
+        over.get("variant", args.variant)
+    )
+    batch = args.batch_size if args.batch_size != 4 else (
+        over.get("batch_size", args.batch_size)
+    )
+    cfg = getattr(configs, variant)(batch_size=batch)
+    height = args.height or over.get("height") or cfg.model.height
+    width = args.width or over.get("width") or cfg.model.width
+    if (height, width) != (cfg.model.height, cfg.model.width):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, height=height, width=width
+            )
+        )
+    loss_fields = {k: v for k, v in over.items() if k.endswith("_weight")}
+    if loss_fields:
+        cfg = dataclasses.replace(cfg, **loss_fields)
+    if solver_text is not None:
+        cfg, extras = apply_solver_prototxt(solver_text, cfg)
+        print(f"solver: -> {cfg.optim.optimizer}, "
+              f"lr={cfg.optim.learning_rate}, policy={cfg.optim.lr_policy}")
+    config_path = os.path.join(args.output_dir, "config.json")
+    config_io.save_json(cfg, config_path)
+    print(f"wrote {config_path} (variant={cfg.name}, batch={cfg.batch_size}, "
+          f"{cfg.model.height}x{cfg.model.width})")
+
+    # 3. Seat the weights: generated name maps (audited), mean/scale fold.
+    state = create_state(cfg, jax.random.PRNGKey(cfg.seed))
+    mean = over.get("input_mean")
+    scale = over.get("input_scale", 1.0)
+    if mean is None and scale != 1.0:
+        mean = [0.0, 0.0, 0.0]
+    params = dict(state.params)
+    stats = state.batch_stats
+    for spec in args.weights or []:
+        net, sep, path = spec.partition("=")
+        if not sep:
+            net, path = "depth", spec
+        if net not in params:
+            print(f"--weights net {net!r} not in variant {cfg.name!r} "
+                  f"(has: {sorted(params)})")
+            return 2
+        layers = caffemodel.parse_caffemodel(path)
+        net_stats = stats if net == "depth" else None
+        m, entries, problems = nm.generate_name_map(
+            layers, params[net], net_stats, strict=False
+        )
+        map_path = os.path.join(args.output_dir, f"name_map_{net}.json")
+        with open(map_path, "w") as f:
+            json.dump(m, f, indent=2, sort_keys=True)
+        print(f"\n{net}: {path}")
+        print(nm.format_map_report(entries, problems))
+        print(f"wrote {map_path}")
+        if problems:
+            print(f"convert: {len(problems)} unmatched entries — the "
+                  "checkpoint seats what matched; review the map")
+        net_params, net_stats, report = import_weights.import_net(
+            layers, params[net], net_stats,
+            name_map=m["convs"] or None,
+            bn_name_map=m["bns"] or None,
+            input_mean=mean, input_scale=scale,
+            strict=not problems,
+        )
+        params[net] = net_params
+        if net == "depth":
+            stats = net_stats
+        print(f"seated {len(report)} entries into net {net!r}"
+              + (f" (mean/scale folded)" if mean is not None else ""))
+    state = state.replace(params=params, batch_stats=stats)
+
+    ckpt_dir = os.path.join(args.output_dir, "checkpoint")
+    mgr = checkpoint.make_manager(ckpt_dir)
+    checkpoint.save(mgr, state)
+    mgr.wait_until_finished()
+    config_io.save_json(cfg, os.path.join(ckpt_dir, "config.json"))
+    print(f"\nwrote {ckpt_dir}")
+    print("next steps:")
+    print(f"  train:      depthvo train --config {config_path} "
+          f"--init-from {ckpt_dir} --checkpoint-dir <run_dir>")
+    print(f"  eval depth: depthvo eval-depth --checkpoint-dir {ckpt_dir} "
+          "--kitti-root <raw> --split-file <eigen.txt>")
+    print(f"  infer:      depthvo infer --checkpoint-dir {ckpt_dir} "
+          "--images <dir> --output-dir <out>")
+    return 0
+
+
 def cmd_make_name_map(args) -> int:
     """Derive the {caffe_layer -> flax path} map a released `.caffemodel`
     needs for trustworthy name-based import (SURVEY.md §7 step 2), with
@@ -1211,6 +1353,23 @@ def main(argv=None) -> int:
                         "describes the --net target and supplies "
                         "transform_param mean/scale automatically")
     p.set_defaults(fn=cmd_import_caffemodel)
+
+    p = sub.add_parser(
+        "convert",
+        help="one-shot migration: solver/net prototxts + .caffemodels -> "
+             "native experiment dir (config.json, name maps, checkpoint)",
+    )
+    _add_common(p)
+    p.add_argument("--solver", default=None,
+                   help="Caffe solver.prototxt (its net:/train_net: is "
+                        "followed)")
+    p.add_argument("--proto", default=None,
+                   help="net prototxt (overrides the solver's net: pointer)")
+    p.add_argument("--weights", action="append", default=None,
+                   metavar="[net=]file.caffemodel",
+                   help="weights to seat (repeatable; default net 'depth')")
+    p.add_argument("--output-dir", required=True)
+    p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser(
         "make-name-map",

@@ -237,3 +237,78 @@ def test_cli_make_name_map(tmp_path, capsys):
     assert set(m) == {"convs", "bns"} and m["convs"]
     text = capsys.readouterr().out
     assert "order-trusted" in text
+
+
+def test_cli_convert_end_to_end(tmp_path, capsys):
+    """`depthvo convert`: solver+net prototxt + caffemodel -> experiment
+    dir whose checkpoint carries the seated weights and whose config
+    reflects both files (the one-shot migration path)."""
+    import dataclasses
+
+    from depthvo_tpu import cli
+    from depthvo_tpu.configs import base as config_io, stereo
+    from depthvo_tpu.train.state import create_state
+
+    (tmp_path / "train.prototxt").write_text("""
+        name: "stereo_train"
+        layer {
+          name: "data" type: "ImageData" top: "L" top: "R"
+          transform_param { mean_value: 104.0 mean_value: 117.0
+                            mean_value: 123.0 }
+          image_data_param { source: "x.txt" batch_size: 2
+                             new_height: 32 new_width: 96 }
+        }
+        layer { name: "conv1" type: "Convolution" bottom: "L" top: "c"
+                convolution_param { num_output: 32 kernel_size: 7 } }
+        layer { name: "stereo_loss" type: "L1Loss" bottom: "c"
+                loss_weight: 1.0 }
+        layer { name: "smooth_loss" type: "L1Loss" bottom: "c"
+                loss_weight: 0.2 }
+    """)
+    (tmp_path / "solver.prototxt").write_text(
+        'net: "train.prototxt"\nbase_lr: 0.002\ntype: "Nesterov"\n'
+        "momentum: 0.95\nlr_policy: \"fixed\"\nmax_iter: 50\n"
+    )
+    cfg_src = stereo(batch_size=2)
+    cfg_src = dataclasses.replace(
+        cfg_src, model=dataclasses.replace(
+            cfg_src.model, height=32, width=96
+        )
+    )
+    src = create_state(cfg_src, jax.random.PRNGKey(11))
+    export_caffemodel(
+        src.params["depth"], batch_stats=src.batch_stats,
+        path=str(tmp_path / "depth.caffemodel"),
+    )
+    out = tmp_path / "exp"
+    rc = cli.main([
+        "convert", "--solver", str(tmp_path / "solver.prototxt"),
+        "--weights", str(tmp_path / "depth.caffemodel"),
+        "--output-dir", str(out),
+    ])
+    assert rc == 0
+    cfg = config_io.load_json(str(out / "config.json"))
+    assert cfg.name == "stereo"
+    assert cfg.batch_size == 2
+    assert (cfg.model.height, cfg.model.width) == (32, 96)
+    assert cfg.optim.optimizer == "nesterov"
+    assert cfg.optim.learning_rate == 0.002
+    assert cfg.smooth_weight == 0.2
+    assert (out / "name_map_depth.json").is_file()
+
+    from depthvo_tpu import api
+
+    m = api.DepthVO.from_checkpoint(str(out / "checkpoint"))
+    a = np.asarray(
+        src.params["depth"]["ResNetStage_0"]["Bottleneck_0"]["ConvBlock_0"]
+        ["Conv_0"]["kernel"]
+    )
+    b = np.asarray(
+        m.params["depth"]["ResNetStage_0"]["Bottleneck_0"]["ConvBlock_0"]
+        ["Conv_0"]["kernel"]
+    )
+    np.testing.assert_array_equal(a, b)  # interior conv seated bit-exact
+    # Input conv folded by transform_param (scale*127.5 with scale=1).
+    ai = np.asarray(src.params["depth"]["ConvBlock_0"]["Conv_0"]["kernel"])
+    bi = np.asarray(m.params["depth"]["ConvBlock_0"]["Conv_0"]["kernel"])
+    np.testing.assert_allclose(bi / ai, 127.5, rtol=1e-5)
