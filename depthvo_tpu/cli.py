@@ -48,8 +48,12 @@ def _make_config(args):
         from depthvo_tpu.configs import base as config_io
 
         return config_io.load_json(args.config)
-    factory = getattr(configs, args.variant)
-    cfg = factory(batch_size=args.batch_size)
+    # train/convert set variant/batch_size defaults to None ("not
+    # explicitly given") so net-prototxt facts can fill them; resolve
+    # the documented defaults here for those parsers.
+    factory = getattr(configs, args.variant or "full_feat")
+    cfg = factory(batch_size=args.batch_size
+                  if args.batch_size is not None else 4)
     height = args.height if args.height is not None else cfg.model.height
     width = args.width if args.width is not None else cfg.model.width
     if (height, width) != (cfg.model.height, cfg.model.width):
@@ -60,55 +64,73 @@ def _make_config(args):
     return cfg
 
 
-def _apply_solver_net(args, solver_text):
-    """Resolve and recognize the solver's ``net:`` prototxt.
-
-    Returns the net's config overrides (loss weights, importer-facing
-    ``input_mean``/``input_scale``) and seats variant/batch/size onto
-    ``args`` — but only where the user left the flag at its parser
-    default (``--variant full_feat`` typed explicitly is
-    indistinguishable from the default; the resolution is printed so
-    nothing is silent). Missing net files warn and fall back to flags:
-    reference solver files point at paths that need not exist here.
-    """
-    from depthvo_tpu.io.net_prototxt import (
-        config_overrides, extract_facts, format_report, parse_prototxt,
-    )
+def _solver_net_path(solver_path, solver_text):
+    """The solver's ``net:``/``train_net:`` pointer, resolved relative
+    to the solver file; None when the solver names no net."""
     from depthvo_tpu.io.solver_prototxt import parse_solver_prototxt
 
     fields = parse_solver_prototxt(solver_text)
     net_path = fields.get("net") or fields.get("train_net")
     if not isinstance(net_path, str):
-        return {}
+        return None
     if not os.path.isabs(net_path):
         net_path = os.path.join(
-            os.path.dirname(os.path.abspath(args.solver)), net_path
+            os.path.dirname(os.path.abspath(solver_path)), net_path
         )
-    if not os.path.isfile(net_path):
-        print(f"solver: net file {net_path} not found; "
-              f"using --variant {args.variant}")
-        return {}
+    return net_path
+
+
+def _recognize_net_file(net_path):
+    """Parse + classify a net prototxt; returns (facts, overrides),
+    printing the report and mapping notes."""
+    from depthvo_tpu.io.net_prototxt import (
+        config_overrides, extract_facts, format_report, parse_prototxt,
+    )
+
     with open(net_path) as f:
         facts = extract_facts(parse_prototxt(f.read()))
     over, notes = config_overrides(facts)
     print(format_report(facts, over))
     for n in notes:
         print(f"net: {n}")
+    return facts, over
+
+
+def _apply_solver_net(args, solver_text):
+    """Resolve and recognize the solver's ``net:`` prototxt.
+
+    Returns the net's config overrides (loss weights, importer-facing
+    ``input_mean``/``input_scale``) and seats variant/batch/size onto
+    ``args`` where the user did not pass the flag (the train parser
+    defaults variant/batch_size to None so explicit flags always win).
+    Missing net files warn and fall back to flags: reference solver
+    files point at paths that need not exist here.
+    """
+    net_path = _solver_net_path(args.solver, solver_text)
+    if net_path is None:
+        return {}
+    if not os.path.isfile(net_path):
+        print(f"solver: net file {net_path} not found; "
+              f"using --variant {args.variant or 'full_feat'}")
+        return {}
+    facts, over = _recognize_net_file(net_path)
     if facts.kind != "train_graph":
         print(f"net: {net_path} is a {facts.kind} deploy graph, not a "
               "training graph; keeping --variant "
-              f"{args.variant} (pair deploy files with import-caffemodel)")
+              f"{args.variant or 'full_feat'} "
+              "(pair deploy files with import-caffemodel)")
         return {}
-    # CLI flags at their parser defaults yield to the net file.
-    if "variant" in over and args.variant == "full_feat":
+    # Flags the user did not pass yield to the net file.
+    if "variant" in over and args.variant is None:
         args.variant = over["variant"]
-    if "batch_size" in over and args.batch_size == 4:
+    if "batch_size" in over and args.batch_size is None:
         args.batch_size = over["batch_size"]
     if args.height is None and "height" in over:
         args.height = over["height"]
     if args.width is None and "width" in over:
         args.width = over["width"]
-    print(f"net: -> variant={args.variant} batch={args.batch_size} "
+    print(f"net: -> variant={args.variant or 'full_feat'} "
+          f"batch={args.batch_size if args.batch_size is not None else 4} "
           f"size={args.height or 'default'}x{args.width or 'default'}")
     return over
 
@@ -784,12 +806,7 @@ def cmd_convert(args) -> int:
     from depthvo_tpu.configs import base as config_io
     from depthvo_tpu.io import caffemodel, checkpoint, import_weights
     from depthvo_tpu.io import name_map as nm
-    from depthvo_tpu.io.net_prototxt import (
-        config_overrides, extract_facts, format_report, parse_prototxt,
-    )
-    from depthvo_tpu.io.solver_prototxt import (
-        apply_solver_prototxt, parse_solver_prototxt,
-    )
+    from depthvo_tpu.io.solver_prototxt import apply_solver_prototxt
     from depthvo_tpu.train.state import create_state
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -798,35 +815,29 @@ def cmd_convert(args) -> int:
     #    the solver's net: pointer).
     solver_text = None
     net_path = args.proto
+    if args.proto and not os.path.isfile(args.proto):
+        # An explicit, unreadable --proto must fail fast — continuing
+        # without it would write a checkpoint with unfolded input convs.
+        print(f"convert: --proto {args.proto} not found")
+        return 2
     if args.solver:
         with open(args.solver) as f:
             solver_text = f.read()
         if net_path is None:
-            fields = parse_solver_prototxt(solver_text)
-            p = fields.get("net") or fields.get("train_net")
-            if isinstance(p, str):
-                net_path = p if os.path.isabs(p) else os.path.join(
-                    os.path.dirname(os.path.abspath(args.solver)), p
-                )
+            net_path = _solver_net_path(args.solver, solver_text)
     over = {}
     facts = None
     if net_path and os.path.isfile(net_path):
-        with open(net_path) as f:
-            facts = extract_facts(parse_prototxt(f.read()))
-        over, notes = config_overrides(facts)
-        print(format_report(facts, over))
-        for n in notes:
-            print(f"net: {n}")
+        facts, over = _recognize_net_file(net_path)
     elif net_path:
-        print(f"convert: net file {net_path} not found; using flags")
+        print(f"convert: solver net file {net_path} not found; using flags")
 
-    # 2. Build the config: net facts fill what flags left at defaults.
-    variant = args.variant if args.variant != "full_feat" else (
-        over.get("variant", args.variant)
-    )
-    batch = args.batch_size if args.batch_size != 4 else (
-        over.get("batch_size", args.batch_size)
-    )
+    # 2. Build the config: net facts fill what flags did not set (the
+    #    convert parser defaults variant/batch_size to None, so explicit
+    #    flags always win).
+    variant = args.variant or over.get("variant", "full_feat")
+    batch = (args.batch_size if args.batch_size is not None
+             else over.get("batch_size", 4))
     cfg = getattr(configs, variant)(batch_size=batch)
     height = args.height or over.get("height") or cfg.model.height
     width = args.width or over.get("width") or cfg.model.width
@@ -839,10 +850,22 @@ def cmd_convert(args) -> int:
     loss_fields = {k: v for k, v in over.items() if k.endswith("_weight")}
     if loss_fields:
         cfg = dataclasses.replace(cfg, **loss_fields)
+    eval_hint = ""
     if solver_text is not None:
         cfg, extras = apply_solver_prototxt(solver_text, cfg)
         print(f"solver: -> {cfg.optim.optimizer}, "
               f"lr={cfg.optim.learning_rate}, policy={cfg.optim.lr_policy}")
+        ignored = [k for k in extras["ignored"]
+                   if k not in ("net", "train_net")]
+        if ignored:
+            print(f"solver: ignoring deploy-only fields {ignored}")
+        if "eval_every" in extras:
+            # test_interval/test_iter are fit() arguments, not config
+            # fields — carry them into the suggested train command so
+            # the one-shot path keeps the solver's eval cadence.
+            eval_hint = f" --eval-every {extras['eval_every']}"
+            if "eval_steps" in extras:
+                eval_hint += f" --eval-steps {extras['eval_steps']}"
     config_path = os.path.join(args.output_dir, "config.json")
     config_io.save_json(cfg, config_path)
     print(f"wrote {config_path} (variant={cfg.name}, batch={cfg.batch_size}, "
@@ -856,6 +879,7 @@ def cmd_convert(args) -> int:
         mean = [0.0, 0.0, 0.0]
     params = dict(state.params)
     stats = state.batch_stats
+    had_problems = False
     for spec in args.weights or []:
         net, sep, path = spec.partition("=")
         if not sep:
@@ -875,12 +899,24 @@ def cmd_convert(args) -> int:
         print(f"\n{net}: {path}")
         print(nm.format_map_report(entries, problems))
         print(f"wrote {map_path}")
+        if not m["convs"]:
+            print(f"convert: NOTHING in {path} matches net {net!r} — "
+                  "wrong file? (no checkpoint written)")
+            return 2
         if problems:
-            print(f"convert: {len(problems)} unmatched entries — the "
-                  "checkpoint seats what matched; review the map")
+            had_problems = True
+            if not args.lenient:
+                print(f"convert: {len(problems)} unmatched entries — "
+                      "refusing to write a partially-random checkpoint "
+                      "(rerun with --lenient to seat what matched; the "
+                      "map JSON above is written for review)")
+                return 2
+            print(f"convert: {len(problems)} unmatched entries — "
+                  "--lenient: seating what matched; unmatched model "
+                  "params stay RANDOM")
         net_params, net_stats, report = import_weights.import_net(
             layers, params[net], net_stats,
-            name_map=m["convs"] or None,
+            name_map=m["convs"],
             bn_name_map=m["bns"] or None,
             input_mean=mean, input_scale=scale,
             strict=not problems,
@@ -900,12 +936,14 @@ def cmd_convert(args) -> int:
     print(f"\nwrote {ckpt_dir}")
     print("next steps:")
     print(f"  train:      depthvo train --config {config_path} "
-          f"--init-from {ckpt_dir} --checkpoint-dir <run_dir>")
+          f"--init-from {ckpt_dir} --checkpoint-dir <run_dir>{eval_hint}")
     print(f"  eval depth: depthvo eval-depth --checkpoint-dir {ckpt_dir} "
           "--kitti-root <raw> --split-file <eigen.txt>")
     print(f"  infer:      depthvo infer --checkpoint-dir {ckpt_dir} "
           "--images <dir> --output-dir <out>")
-    return 0
+    # Lenient runs with unmatched entries exit 1: scripts chaining
+    # `convert && train` must not treat a partial seat as clean.
+    return 1 if had_problems else 0
 
 
 def cmd_make_name_map(args) -> int:
@@ -1153,6 +1191,10 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("train", help="staged training (reference: caffe train)")
     _add_common(p)
+    # None = "not explicitly set": a solver net: prototxt may then supply
+    # the value; _make_config resolves the remaining Nones to the
+    # defaults shown by --help (full_feat / 4).
+    p.set_defaults(variant=None, batch_size=None)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--num-devices", type=int, default=None)
     p.add_argument("--config", default=None,
@@ -1369,7 +1411,11 @@ def main(argv=None) -> int:
                    metavar="[net=]file.caffemodel",
                    help="weights to seat (repeatable; default net 'depth')")
     p.add_argument("--output-dir", required=True)
-    p.set_defaults(fn=cmd_convert)
+    p.add_argument("--lenient", action="store_true",
+                   help="seat what matched when some entries are "
+                        "unmatched (exit 1) instead of refusing (exit 2)")
+    # None = "not explicitly set" (net facts may fill them; see train).
+    p.set_defaults(fn=cmd_convert, variant=None, batch_size=None)
 
     p = sub.add_parser(
         "make-name-map",

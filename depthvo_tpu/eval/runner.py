@@ -311,8 +311,19 @@ def _load_saved_predictions(pred_path: str) -> List[np.ndarray]:
         stack = os.path.join(pred_path, "depth_predictions.npy")
         if os.path.isfile(stack):
             return list(np.load(stack))
+
+        def natural(s: str):
+            # frame_2 before frame_10: other frameworks' dumps are often
+            # numbered without zero padding, and a lexicographic order
+            # would silently misalign predictions with gt frames.
+            import re
+
+            return [int(t) if t.isdigit() else t
+                    for t in re.split(r"(\d+)", s)]
+
         files = sorted(
-            f for f in os.listdir(pred_path) if f.endswith(".npy")
+            (f for f in os.listdir(pred_path) if f.endswith(".npy")),
+            key=natural,
         )
         if not files:
             raise FileNotFoundError(
@@ -383,9 +394,14 @@ def run_odometry_eval(
 
         poses = read_kitti_poses(pose_file)
         gt_path = os.path.join(kitti_odom_root, "poses", sequence + ".txt")
-        gt_poses = (
-            read_kitti_poses(gt_path) if os.path.isfile(gt_path) else None
-        )
+        if not os.path.isfile(gt_path):
+            # Scoring a pose file without gt is meaningless; a mistyped
+            # root must not "succeed" with an empty scorecard.
+            raise FileNotFoundError(
+                f"no ground-truth poses at {gt_path} — check "
+                "--kitti-root/--sequence"
+            )
+        gt_poses = read_kitti_poses(gt_path)
         if output_dir:
             from depthvo_tpu.eval.odometry import plot_trajectory
 

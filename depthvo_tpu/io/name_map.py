@@ -53,17 +53,36 @@ class MapEntry:
         return self.class_size > 1
 
 
+def _is_deconv(layer: Dict) -> bool:
+    """Caffe Deconvolution stores (C_in, C_out/group, kh, kw) — the
+    input/output axes are SWAPPED relative to Convolution's OIHW.
+    Legacy V1LayerParameter encodes the type as enum 39."""
+    t = layer.get("type", "")
+    return (isinstance(t, str) and t.lower() == "deconvolution") or t == 39
+
+
 def _caffe_kernel_shape(layer: Dict) -> Optional[Tuple[int, ...]]:
     """Converted (flax-side) shape of a learnable layer's kernel."""
     if not layer["blobs"]:
         return None
     w = layer["blobs"][0]
-    if w.ndim == 4:  # OIHW -> HWIO
+    if w.ndim == 4:  # OIHW (deconv: IOHW) -> HWIO
         o, i, h, ww = w.shape
+        if _is_deconv(layer):
+            o, i = i, o
         return (h, ww, i, o)
     if w.ndim == 2:  # (out, in) -> (in, out)
         return (w.shape[1], w.shape[0])
     return None
+
+
+def _caffe_out_channels(layer: Dict) -> int:
+    """Output channels of a learnable layer's first blob (the quantity
+    the prototxt declares as ``num_output``)."""
+    w = layer["blobs"][0]
+    if w.ndim == 4 and _is_deconv(layer):
+        return int(w.shape[1])
+    return int(w.shape[0])
 
 
 def _pair_by_signature(
@@ -189,28 +208,38 @@ def generate_name_map(
 def _check_against_proto(
     layers: Dict[str, Dict], facts: Any, strict: bool
 ) -> List[str]:
+    """Cross-check the prototxt's declared learnable layers.
+
+    A ``num_output`` disagreement on a layer PRESENT in the weights file
+    is a hard mismatch (strict raises: the files do not pair). A layer
+    declared but absent is only reported: the documented companion may be
+    the full siamese TRAIN graph, which declares towers (odometry, the
+    second depth tower, the feature net) that live in other
+    ``.caffemodel`` files."""
     problems: List[str] = []
+    mismatches: List[str] = []
     declared = getattr(facts, "learnable_layers", None) or []
     for name, num_output in declared:
         layer = layers.get(name)
         if layer is None or not layer["blobs"]:
             problems.append(
                 f"proto: layer {name!r} declared in the prototxt carries "
-                "no blobs in the caffemodel"
+                "no blobs in this caffemodel (another net's tower, or a "
+                "genuinely missing layer — check which)"
             )
             continue
-        out_ch = int(layer["blobs"][0].shape[0])
+        out_ch = _caffe_out_channels(layer)
         if num_output and out_ch != int(num_output):
-            problems.append(
+            mismatches.append(
                 f"proto: {name!r} declares num_output={num_output} but the "
                 f"caffemodel blob has {out_ch} output channels"
             )
-    if strict and problems:
+    if strict and mismatches:
         raise ValueError(
             "generate_name_map: prototxt/caffemodel disagree:\n"
-            + "\n".join(problems)
+            + "\n".join(mismatches)
         )
-    return problems
+    return mismatches + problems
 
 
 def format_map_report(entries: List[MapEntry], problems: List[str]) -> str:

@@ -152,7 +152,10 @@ class TestProtoCrossCheck:
                 layers, params, proto_facts=facts, strict=True
             )
 
-    def test_missing_layer_in_weights_raises(self, rng):
+    def test_missing_layer_in_weights_reported_not_fatal(self, rng):
+        # A declared layer absent from the weights file is REPORTED but
+        # does not fail strict mode: the documented companion may be the
+        # full siamese train graph, which declares other nets' towers.
         model = SmallNet()
         x = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
         params = model.init(jax.random.PRNGKey(0), x)["params"]
@@ -163,10 +166,28 @@ class TestProtoCrossCheck:
                 top: "c4" convolution_param { num_output: 8 } }
         """
         facts = extract_facts(parse_prototxt(proto))
-        with pytest.raises(ValueError, match="conv_ghost"):
-            name_map.generate_name_map(
-                layers, params, proto_facts=facts, strict=True
-            )
+        m, _, problems = name_map.generate_name_map(
+            layers, params, proto_facts=facts, strict=True
+        )
+        assert any("conv_ghost" in p for p in problems)
+        assert len(m["convs"]) == 3  # the real layers still mapped
+
+    def test_deconv_axes_swapped(self, rng):
+        # Caffe Deconvolution blobs are (C_in, C_out/g, kh, kw): both the
+        # signature and the num_output cross-check must read the swapped
+        # axes (a real released decoder may be deconv-based).
+        w = rng.normal(size=(16, 4, 2, 2)).astype(np.float32)  # in=16 out=4
+        raw = encode_net([("upconv", "Deconvolution", [w])])
+        layers = caffemodel.parse_caffemodel(raw)
+        assert name_map._caffe_kernel_shape(layers["upconv"]) == (2, 2, 16, 4)
+        assert name_map._caffe_out_channels(layers["upconv"]) == 4
+        facts = extract_facts(parse_prototxt("""
+            layer { name: "upconv" type: "Deconvolution" bottom: "x"
+                    top: "y" convolution_param { num_output: 4 } }
+        """))
+        # num_output=4 agrees with the swapped axis: no mismatch raised.
+        probs = name_map._check_against_proto(layers, facts, strict=True)
+        assert probs == []
 
 
 class TestFullDepthNetRoundTrip:
