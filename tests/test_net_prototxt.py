@@ -270,3 +270,24 @@ def test_format_report_mentions_everything():
     assert "full_feat" in rep
     assert "mean=[104.0, 117.0, 123.0]" in rep
     assert "smooth_loss" in rep
+
+
+def test_cli_net_info(tmp_path, capsys):
+    from depthvo_tpu import cli
+
+    f = tmp_path / "deploy.prototxt"
+    f.write_text(DEPTH_DEPLOY)
+    out_json = tmp_path / "facts.json"
+    rc = cli.main(["net-info", str(f), "--json", str(out_json)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "kind=depth" in text
+    import json as _json
+
+    blob = _json.loads(out_json.read_text())
+    assert blob["kind"] == "depth"
+    assert blob["overrides"]["height"] == 160
+
+    bad = tmp_path / "bad.prototxt"
+    bad.write_text('name: "x"')  # nothing recognizable
+    assert cli.main(["net-info", str(bad)]) == 1
