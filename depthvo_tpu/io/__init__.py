@@ -14,4 +14,16 @@
   ``import_net`` chains it all (CLI: ``import-caffemodel``).
 * ``export_weights``   — writes model-zoo ``.caffemodel`` files back
   (CLI: ``export-caffemodel``); round-trip exact against the importer.
+* ``solver_prototxt``  — runs reference ``solver.prototxt`` files
+  unchanged (all six solver types, seven lr policies; CLI:
+  ``train --solver``).
+* ``net_prototxt``     — NetParameter TextFormat parser + recognizer:
+  which of the three nets a prototxt describes, input dims,
+  preprocessing, loss weights (CLI: ``net-info``; consumed by
+  ``train --solver`` net: and ``convert``). Facts only — never executed.
+* ``name_map``         — derives the ``{caffe_layer -> flax path}`` map
+  for name-based import from the weights file itself, with an
+  order-trusted audit report (CLI: ``make-name-map``, ``convert``).
+* ``serving``          — weights-embedded StableHLO deploy artifact
+  (CLI: ``export-serving``).
 """

@@ -291,3 +291,54 @@ def test_cli_net_info(tmp_path, capsys):
     bad = tmp_path / "bad.prototxt"
     bad.write_text('name: "x"')  # nothing recognizable
     assert cli.main(["net-info", str(bad)]) == 1
+
+
+def test_cli_train_weights_with_solver_net_folds_mean(tmp_path, capsys):
+    """train --solver (net: with transform_param) + --weights: the
+    recognized mean/scale folds into the seated input conv, and training
+    runs — the `caffe train --solver= --weights=` composition."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from depthvo_tpu import cli
+    from depthvo_tpu.configs import stereo
+    from depthvo_tpu.io.export_weights import export_caffemodel
+    from depthvo_tpu.train.state import create_state
+
+    (tmp_path / "train.prototxt").write_text("""
+        name: "stereo_train"
+        layer {
+          name: "data" type: "ImageData" top: "L" top: "R"
+          transform_param { mean_value: 104.0 mean_value: 117.0
+                            mean_value: 123.0 }
+          image_data_param { source: "x.txt" batch_size: 2
+                             new_height: 32 new_width: 96 }
+        }
+        layer { name: "conv1" type: "Convolution" bottom: "L" top: "c"
+                convolution_param { num_output: 32 kernel_size: 7 } }
+        layer { name: "stereo_loss" type: "L1Loss" bottom: "c"
+                loss_weight: 1.0 }
+    """)
+    (tmp_path / "solver.prototxt").write_text(
+        'net: "train.prototxt"\nbase_lr: 0.001\nmax_iter: 10\n'
+    )
+    cfg = stereo(batch_size=2)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, height=32, width=96)
+    )
+    src = create_state(cfg, jax.random.PRNGKey(2))
+    export_caffemodel(
+        src.params["depth"], batch_stats=src.batch_stats,
+        path=str(tmp_path / "d.caffemodel"),
+    )
+    rc = cli.main([
+        "train", "--solver", str(tmp_path / "solver.prototxt"),
+        "--weights", str(tmp_path / "d.caffemodel"),
+        "--steps", "2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "folding transform_param mean=[104.0, 117.0, 123.0]" in out
+    assert "step 0:" in out and "loss/stereo" in out
