@@ -137,6 +137,59 @@ class DepthVO:
         repl = pmesh.replicated(mesh)
         self.params = jax.device_put(self.params, repl)
         self.batch_stats = jax.device_put(self.batch_stats, repl)
+        if getattr(self, "quant", None) is not None:
+            self.quant = jax.device_put(self.quant, repl)
+        return self
+
+    # ---- quantized serving ----
+    def calibrate_int8(self, images: np.ndarray) -> "DepthVO":
+        """Switch depth inference to w8a8 int8 convolutions.
+
+        Runs one f32 calibration pass over ``images`` (representative
+        frames, raw uint8 or [-1,1] float) recording per-conv activation
+        scales into the ``quant`` collection, then replaces the depth
+        forward with the int8 program (per-output-channel int8 weights,
+        static per-tensor int8 activations, int32 MXU accumulation — 2x
+        the bf16 MXU rate on v5e). Repeated calls accumulate the running
+        max over additional batches. The 1-channel disp heads and
+        BatchNorm stay full precision. Returns self.
+
+        Accuracy is a deployment tradeoff exactly like the serving-head
+        knobs (PERF.md): validate on your eval protocol; `depth()`/
+        `inverse_depth()`/eval sweeps all use the quantized program after
+        this call."""
+        from depthvo_tpu.train.state import build_models as _bm
+
+        depth_cal, _, _ = _bm(self.config, depth_quant="calibrate")
+        variables = {
+            "params": self.params["depth"],
+            "batch_stats": self.batch_stats,
+        }
+        if getattr(self, "quant", None) is not None:
+            variables["quant"] = self.quant
+        _, mutated = depth_cal.apply(
+            variables, _to_unit(_as_batch(images)), train=False,
+            mutable=["quant"],
+        )
+        self.quant = mutated["quant"]
+
+        depth_q, _, _ = _bm(self.config, depth_quant="int8")
+
+        @jax.jit
+        def _depth_q_fn(params, batch_stats, quant, images):
+            variables = {
+                "params": params["depth"],
+                "batch_stats": batch_stats,
+                "quant": quant,
+            }
+            disps = depth_q.apply(variables, _to_unit(images), train=False)
+            return disps[-1]
+
+        # Keep the 3-arg _depth_fn contract (depth()/eval runners).
+        self._depth_fn_f32 = getattr(
+            self, "_depth_fn_f32", self._depth_fn
+        )
+        self._depth_fn = lambda p, b, im: _depth_q_fn(p, b, self.quant, im)
         return self
 
     # ---- inference ----

@@ -1171,6 +1171,7 @@ def cmd_bench(args) -> int:
         trace_dir=args.trace_dir,
         variant=args.variant,
         remat=args.remat,
+        int8=args.int8,
     )
     print(json.dumps(result))
     return 0
@@ -1491,6 +1492,10 @@ def main(argv=None) -> int:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize DepthNet stages (memory-for-FLOPs; "
                         "raises the per-chip batch ceiling)")
+    p.add_argument("--int8", action="store_true",
+                   help="depth_infer only: w8a8 int8 serving path "
+                        "(calibrates on the benchmark batch; v5e int8 "
+                        "MXU peak is 2x bf16)")
     p.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)

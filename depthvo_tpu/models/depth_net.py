@@ -60,6 +60,12 @@ class DepthNet(nn.Module):
     # activation memory that otherwise caps per-chip batch size (the
     # measured MFU lever — PERF.md batch-size scaling table).
     remat: bool = False
+    # w8a8 int8 serving (v5e int8 MXU rate is 2x bf16): "off" for
+    # training/default serving, "calibrate" to record activation scales
+    # (apply with mutable=["quant"]), "int8" to run the quantized convs.
+    # The tiny 1-channel disp heads stay un-quantized (VPU-bound, and
+    # the sigmoid head is precision-sensitive). See api.calibrate_int8.
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -83,10 +89,12 @@ class DepthNet(nn.Module):
             Stage, Up, CB = ResNetStage, UpConv, ConvBlock
 
         # ----- encoder -----
+        q = self.quant_mode
         skips = []
-        x = CB(self.stem_features, 7, 2, dtype=dt, name="ConvBlock_0")(
-            x, train
-        )  # 1/2
+        x = CB(
+            self.stem_features, 7, 2, dtype=dt, quant_mode=q,
+            name="ConvBlock_0",
+        )(x, train)  # 1/2
         skips.append(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")  # 1/4
         for i, (planes, blocks) in enumerate(
@@ -94,7 +102,7 @@ class DepthNet(nn.Module):
         ):
             x = Stage(
                 planes, blocks, stride=1 if i == 0 else 2, dtype=dt,
-                name=f"ResNetStage_{i}",
+                quant_mode=q, name=f"ResNetStage_{i}",
             )(x, train)
             skips.append(x)
         # skips: [1/2 (32), 1/4 (128), 1/8 (256), 1/16 (512), 1/32 (1024)]
@@ -135,12 +143,15 @@ class DepthNet(nn.Module):
                 prev = disps[-1]
                 disps.append(resize_bilinear(prev, prev.shape[1] * 2, prev.shape[2] * 2))
                 break
-            x = Up(feats, dtype=dt, name=f"UpConv_{i}")(x, train)
+            x = Up(feats, dtype=dt, quant_mode=q, name=f"UpConv_{i}")(
+                x, train
+            )
             skip_idx = len(skips) - 2 - i
             if skip_idx >= 0:
                 x = jnp.concatenate([x, skips[skip_idx]], axis=-1)
             x = CB(
-                feats, 3, 1, use_bn=False, dtype=dt, name=f"ConvBlock_{i + 1}"
+                feats, 3, 1, use_bn=False, dtype=dt, quant_mode=q,
+                name=f"ConvBlock_{i + 1}",
             )(x, train)
             # Predict inverse depth at the last `num_scales` resolutions
             # (with fast_final_upsample the second-finest stage must also

@@ -19,8 +19,99 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+class QuantConv(nn.Module):
+    """int8xint8->int32 convolution for w8a8 serving (MXU int8 rate is
+    2x bf16 on v5e).
+
+    Declares the SAME parameters as ``nn.Conv`` (f32 ``kernel``/``bias``
+    under the caller-given name), so trained checkpoints load unchanged;
+    quantization happens in the forward:
+
+    * weights: symmetric per-output-channel int8, scales derived from the
+      kernel itself — under ``jax.export``/AOT serving the kernel is a
+      constant and the whole weight-quantize folds away at compile time;
+    * activations: symmetric per-tensor int8 with a STATIC scale from a
+      calibration pass (``quant_mode="calibrate"`` records running
+      max|x| into the ``quant`` variable collection; a static scale keeps
+      the serving program free of data-dependent reductions).
+
+    ``calibrate=True`` runs the f32 convolution and records the scale;
+    otherwise the int8 path runs and requires a prior calibration
+    (uncalibrated scale-0 guards to a tiny epsilon, producing garbage —
+    the API asserts calibration happened, see ``api.calibrate_int8``).
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = False
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+    calibrate: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from jax import lax
+
+        kshape = (self.kernel, self.kernel, x.shape[-1], self.features)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), kshape, jnp.float32
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            if self.use_bias
+            else None
+        )
+        a_max = self.variable(
+            "quant", "a_max", lambda: jnp.zeros((), jnp.float32)
+        )
+        dn = ("NHWC", "HWIO", "NHWC")
+        strides = (self.stride, self.stride)
+        dil = (self.dilation, self.dilation)
+        if self.calibrate:
+            if not self.is_initializing():
+                a_max.value = jnp.maximum(
+                    a_max.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+                )
+            y = lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                strides, "SAME", rhs_dilation=dil, dimension_numbers=dn,
+            )
+        else:
+            a_scale = jnp.maximum(a_max.value, 1e-6) / 127.0
+            x_q = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / a_scale), -127, 127
+            ).astype(jnp.int8)
+            w_scale = (
+                jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12)
+                / 127.0
+            )
+            w_q = jnp.clip(
+                jnp.round(kernel / w_scale), -127, 127
+            ).astype(jnp.int8)
+            y = lax.conv_general_dilated(
+                x_q, w_q, strides, "SAME", rhs_dilation=dil,
+                dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            )
+            y = (y.astype(jnp.float32) * (a_scale * w_scale)).astype(
+                self.dtype
+            )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class ConvBlock(nn.Module):
-    """Conv -> (BN) -> activation, the basic unit of every tower."""
+    """Conv -> (BN) -> activation, the basic unit of every tower.
+
+    ``quant_mode``: "off" (nn.Conv, training and default serving),
+    "calibrate" (f32 conv recording activation scales into the ``quant``
+    collection), "int8" (w8a8 serving via :class:`QuantConv`). The param
+    tree is identical across modes.
+    """
 
     features: int
     kernel: int = 3
@@ -29,19 +120,32 @@ class ConvBlock(nn.Module):
     act: Callable | None = nn.relu
     dtype: Dtype = jnp.float32
     dilation: int = 1
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            kernel_dilation=(self.dilation, self.dilation),
-            padding="SAME",
-            use_bias=not self.use_bn,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        if self.quant_mode != "off":
+            x = QuantConv(
+                self.features,
+                kernel=self.kernel,
+                stride=self.stride,
+                use_bias=not self.use_bn,
+                dilation=self.dilation,
+                dtype=self.dtype,
+                calibrate=self.quant_mode == "calibrate",
+                name="Conv_0",  # match nn.Conv's auto-name: same tree
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                kernel_dilation=(self.dilation, self.dilation),
+                padding="SAME",
+                use_bias=not self.use_bn,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -61,17 +165,26 @@ class Bottleneck(nn.Module):
     planes: int  # bottleneck width; output channels = 4 * planes
     stride: int = 1
     dtype: Dtype = jnp.float32
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out_ch = 4 * self.planes
+        q = self.quant_mode
         residual = x
-        y = ConvBlock(self.planes, 1, 1, dtype=self.dtype)(x, train)
-        y = ConvBlock(self.planes, 3, self.stride, dtype=self.dtype)(y, train)
-        y = ConvBlock(out_ch, 1, 1, act=None, dtype=self.dtype)(y, train)
+        y = ConvBlock(self.planes, 1, 1, dtype=self.dtype, quant_mode=q)(
+            x, train
+        )
+        y = ConvBlock(
+            self.planes, 3, self.stride, dtype=self.dtype, quant_mode=q
+        )(y, train)
+        y = ConvBlock(
+            out_ch, 1, 1, act=None, dtype=self.dtype, quant_mode=q
+        )(y, train)
         if residual.shape[-1] != out_ch or self.stride != 1:
             residual = ConvBlock(
-                out_ch, 1, self.stride, act=None, dtype=self.dtype
+                out_ch, 1, self.stride, act=None, dtype=self.dtype,
+                quant_mode=q,
             )(x, train)
         return nn.relu(y + residual)
 
@@ -83,6 +196,7 @@ class ResNetStage(nn.Module):
     num_blocks: int
     stride: int
     dtype: Dtype = jnp.float32
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -91,6 +205,7 @@ class ResNetStage(nn.Module):
                 self.planes,
                 stride=self.stride if i == 0 else 1,
                 dtype=self.dtype,
+                quant_mode=self.quant_mode,
             )(x, train)
         return x
 
@@ -122,10 +237,12 @@ class UpConv(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = upsample2x(x)
-        return ConvBlock(self.features, 3, 1, use_bn=False, dtype=self.dtype)(
-            x, train
-        )
+        return ConvBlock(
+            self.features, 3, 1, use_bn=False, dtype=self.dtype,
+            quant_mode=self.quant_mode,
+        )(x, train)

@@ -162,8 +162,13 @@ def make_optimizer(config: ExperimentConfig) -> optax.GradientTransformation:
     return tx
 
 
-def build_models(config: ExperimentConfig):
-    """Instantiate the three network modules from config."""
+def build_models(config: ExperimentConfig, depth_quant: str = "off"):
+    """Instantiate the three network modules from config.
+
+    ``depth_quant``: the DepthNet quantization mode — "off" for training
+    (quantized training is out of scope; the reference trains f32),
+    "calibrate"/"int8" for the w8a8 serving path (api.calibrate_int8).
+    """
     mc = config.model
     dt = jnp.dtype(mc.compute_dtype)
     depth = DepthNet(
@@ -174,6 +179,7 @@ def build_models(config: ExperimentConfig):
         fast_final_upsample=mc.fast_final_upsample,
         subpixel_head=mc.subpixel_head,
         remat=mc.remat,
+        quant_mode=depth_quant,
     )
     odom = OdomNet(compute_dtype=dt)
     feat = FeatNet(out_features=mc.feat_channels, compute_dtype=dt)

@@ -301,6 +301,7 @@ def run_benchmark(
     trace_dir: str | None = None,
     variant: str = "full_feat",
     remat: bool = False,
+    int8: bool = False,
 ) -> Dict[str, Any]:
     """Benchmark one of the hot paths; returns a JSON-able result dict.
 
@@ -346,26 +347,40 @@ def run_benchmark(
         images = jnp.asarray(
             rng.uniform(-1, 1, (batch_size, height, width, 3)), jnp.float32
         )
+        quant_vars = None
+        if int8:
+            # w8a8 serving path: calibrate on the benchmark batch, then
+            # time the quantized program (api.calibrate_int8 flow).
+            model.calibrate_int8(np.asarray(images))
+            quant_vars = model.quant
+            from depthvo_tpu.train.state import build_models
+
+            depth_net, _, _ = build_models(cfg, depth_quant="int8")
+            extra["int8"] = True
+        else:
+            depth_net = model._depth_net
         # Steady-state device throughput: K sequential forwards inside one
         # jitted scan (per-dispatch tunnel latency would otherwise dominate
         # and hide the real per-batch time).
         K_INNER = 10
-        depth_net = model._depth_net
 
         @jax.jit
-        def scan_fwd(params, batch_stats, images):
+        def scan_fwd(params, batch_stats, quant, images):
             def body(c, _):
-                d = depth_net.apply(
-                    {"params": params["depth"], "batch_stats": batch_stats},
-                    images + c * 0.0,
-                    train=False,
-                )[-1]
+                variables = {
+                    "params": params["depth"], "batch_stats": batch_stats,
+                }
+                if quant is not None:
+                    variables["quant"] = quant
+                d = depth_net.apply(variables, images + c * 0.0, train=False)[-1]
                 return c + jnp.mean(d), None
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K_INNER)
             return c
 
         stats_scale = K_INNER
-        fn = lambda: scan_fwd(model.params, model.batch_stats, images)
+        fn = lambda: scan_fwd(
+            model.params, model.batch_stats, quant_vars, images
+        )
     elif mode == "odom_infer":
         model = DepthVO.from_random(_cfg())
         pairs = jnp.asarray(
