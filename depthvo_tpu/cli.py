@@ -1022,6 +1022,27 @@ def cmd_export_serving(args) -> int:
     from depthvo_tpu.io import serving
 
     model = _load_model(args)
+    if args.int8_calib:
+        # w8a8 artifact: calibrate on representative frames, then export
+        # the quantized program (scales + int8 weights fold to
+        # constants; the sidecar records int8=true).
+        from depthvo_tpu.data.kitti import load_image_u8
+
+        mc = model.config.model
+        paths = sorted(
+            os.path.join(args.int8_calib, f)
+            for f in os.listdir(args.int8_calib)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        if not paths:
+            print(f"--int8-calib {args.int8_calib}: no images found")
+            return 2
+        frames = np.stack(
+            [load_image_u8(p, mc.height, mc.width) for p in paths[:64]]
+        )
+        model.calibrate_int8(frames)
+        print(f"int8: calibrated on {len(frames)} frames "
+              f"from {args.int8_calib}")
     sidecar = serving.export_depth(
         model,
         args.output,
@@ -1465,6 +1486,10 @@ def main(argv=None) -> int:
                    help="concrete batch size (default: symbolic — one "
                         "artifact serves every batch size)")
     p.add_argument("--head", default="depth", choices=["depth", "disparity"])
+    p.add_argument("--int8-calib", default=None,
+                   help="directory of representative frames: calibrate "
+                        "and export the w8a8 int8 program instead of "
+                        "bf16/f32 (scales + int8 weights baked in)")
     p.set_defaults(fn=cmd_export_serving)
 
     p = sub.add_parser(

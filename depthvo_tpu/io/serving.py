@@ -89,6 +89,9 @@ def export_depth(
         "output": output,
         "platforms": list(platforms),
         "variant": model.config.name,
+        # A calibrate_int8'd model exports its w8a8 program: the quant
+        # scales and int8 weights become compile-time constants.
+        "int8": getattr(model, "quant", None) is not None,
         "artifact_bytes": os.path.getsize(path),
     }
     with open(path + ".json", "w") as f:

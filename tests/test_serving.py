@@ -76,3 +76,25 @@ def test_bad_args_rejected(tiny_model, tmp_path):
         serving.export_depth(tiny_model, str(tmp_path / "x"), input_dtype="int8")
     with pytest.raises(ValueError, match="output"):
         serving.export_depth(tiny_model, str(tmp_path / "x"), output="rgb")
+
+
+def test_int8_export_roundtrip(tmp_path):
+    """A calibrate_int8'd model exports its w8a8 program: the sidecar
+    records int8=true and the served artifact reproduces the quantized
+    (not the f32) forward."""
+    import numpy as np
+
+    from depthvo_tpu import api, configs
+
+    model = api.DepthVO.from_random(configs.tiny_test(), seed=9)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(2, 32, 96, 3), dtype=np.uint8)
+    model.calibrate_int8(imgs)
+    want = model.depth(imgs)
+
+    path = str(tmp_path / "int8.depthvo.bin")
+    sidecar = serving.export_depth(model, path, batch=2)
+    assert sidecar["int8"] is True
+    served = serving.load(path)
+    got = served(imgs)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
