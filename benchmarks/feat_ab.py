@@ -29,21 +29,33 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def depth_abs_rel(state, scenes, cfg) -> float:
-    """abs-rel of the trained depth net vs the synthetic scenes' gt."""
-    import jax
+def depth_abs_rel(state, scenes, cfg, depth_quant: str = "off") -> float:
+    """abs-rel of the trained depth net vs the synthetic scenes' gt.
+
+    The SHARED metric for the serving A/B harnesses (feat_ab, int8_ab):
+    one protocol (fixed eval batch, median scale, mean abs-rel) so their
+    PERF.md numbers stay comparable. ``depth_quant="int8"`` evaluates
+    the w8a8 forward, calibrated on the same eval frames.
+    """
     import jax.numpy as jnp
 
     from depthvo_tpu.train.state import build_models
 
-    depth_net, _, _ = build_models(cfg)
     batch = scenes.fixed_batch(cfg.batch_size)
     gt = np.stack(
         [scenes._scenes[i % len(scenes._scenes)]["depth"]
          for i in range(cfg.batch_size)]
     )
+    images = jnp.asarray(batch["image_t"])
     variables = {"params": state.params["depth"], "batch_stats": state.batch_stats}
-    disp = depth_net.apply(variables, jnp.asarray(batch["image_t"]), train=False)[-1]
+    if depth_quant == "int8":
+        calib_net, _, _ = build_models(cfg, depth_quant="calibrate")
+        _, mutated = calib_net.apply(
+            variables, images, train=False, mutable=["quant"]
+        )
+        variables = dict(variables, quant=mutated["quant"])
+    depth_net, _, _ = build_models(cfg, depth_quant=depth_quant)
+    disp = depth_net.apply(variables, images, train=False)[-1]
     pred = 1.0 / np.asarray(disp[..., 0])
     # Median-scale (the eval protocol) then abs-rel on the valid range.
     scale = np.median(gt) / np.median(pred)

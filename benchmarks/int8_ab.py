@@ -22,39 +22,9 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def abs_rel(state, scenes, cfg, int8: bool) -> float:
-    import jax
-    import jax.numpy as jnp
-
-    from depthvo_tpu.train.state import build_models
-
-    batch = scenes.fixed_batch(cfg.batch_size)
-    gt = np.stack(
-        [scenes._scenes[i % len(scenes._scenes)]["depth"]
-         for i in range(cfg.batch_size)]
-    )
-    images = jnp.asarray(batch["image_t"])
-    variables = {
-        "params": state.params["depth"],
-        "batch_stats": state.batch_stats,
-    }
-    if int8:
-        calib_net, _, _ = build_models(cfg, depth_quant="calibrate")
-        _, mutated = calib_net.apply(
-            variables, images, train=False, mutable=["quant"]
-        )
-        variables = dict(variables, quant=mutated["quant"])
-        net, _, _ = build_models(cfg, depth_quant="int8")
-    else:
-        net, _, _ = build_models(cfg)
-    disp = net.apply(variables, images, train=False)[-1]
-    pred = 1.0 / np.asarray(disp[..., 0])
-    scale = np.median(gt) / np.median(pred)
-    pred = pred * scale
-    return float(np.mean(np.abs(pred - gt) / gt))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)  # for the shared feat_ab metric
 
 
 def run_seed(steps: int, seed: int):
@@ -71,7 +41,13 @@ def run_seed(steps: int, seed: int):
     state = train_loop.fit(
         cfg, scenes.iterator(cfg.batch_size, fixed=True), steps, state=state
     )
-    return abs_rel(state, scenes, cfg, False), abs_rel(state, scenes, cfg, True)
+    # Shared metric with feat_ab.py: one protocol across A/B harnesses.
+    from feat_ab import depth_abs_rel
+
+    return (
+        depth_abs_rel(state, scenes, cfg),
+        depth_abs_rel(state, scenes, cfg, depth_quant="int8"),
+    )
 
 
 def main(argv=None) -> int:

@@ -33,8 +33,6 @@ def loss_fn(use_pallas, src, depth, twist):
 
 for C in (3, 19):
     src, depth, twist = make(C)
-    for up in (True, False):
-        pass
     gp = jax.jit(jax.grad(lambda d, t: loss_fn(True, src, d, t), argnums=(0, 1)))
     gx = jax.jit(jax.grad(lambda d, t: loss_fn(False, src, d, t), argnums=(0, 1)))
     (dd_p, dt_p) = gp(depth, twist)

@@ -3,10 +3,13 @@
 # changes, and at round end): kernel goldens, the driver's bench metric,
 # the BASELINE training configs, and the int8 serving comparison.
 # Numbers land in PERF.md by hand after review.
-set -x
+set -ex
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/.axon_site:$PWD
-python - <<'PY'   # 10s tunnel probe: fail fast if the tunnel is down
+# Tunnel probe: a down tunnel blocks backend init FOREVER, so the probe
+# must be killed by timeout; set -e then stops the script (exit 124)
+# instead of running five benchmarks against a dead tunnel.
+timeout 90 python - <<'PY'
 import time, jax, jax.numpy as jnp
 t0=time.time(); x=jnp.ones((1024,1024),jnp.bfloat16)
 (x@x).block_until_ready(); print("probe ok", time.time()-t0)

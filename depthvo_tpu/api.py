@@ -172,6 +172,19 @@ class DepthVO:
             mutable=["quant"],
         )
         self.quant = mutated["quant"]
+        bad = [
+            "/".join(map(str, path))
+            for path, v in jax.tree_util.tree_flatten_with_path(
+                self.quant
+            )[0]
+            if not float(v) > 0
+        ]
+        if bad:
+            raise ValueError(
+                "calibrate_int8: calibration recorded zero activation "
+                f"scales at {bad} — the calibration images never reached "
+                "those convs (all-zero input?)"
+            )
 
         depth_q, _, _ = _bm(self.config, depth_quant="int8")
 
@@ -190,6 +203,14 @@ class DepthVO:
             self, "_depth_fn_f32", self._depth_fn
         )
         self._depth_fn = lambda p, b, im: _depth_q_fn(p, b, self.quant, im)
+        return self
+
+    def uncalibrate(self) -> "DepthVO":
+        """Undo :meth:`calibrate_int8`: restore the f32/bf16 depth
+        forward and drop the recorded scales. Returns self."""
+        if getattr(self, "_depth_fn_f32", None) is not None:
+            self._depth_fn = self._depth_fn_f32
+        self.quant = None
         return self
 
     # ---- inference ----

@@ -1037,11 +1037,16 @@ def cmd_export_serving(args) -> int:
         if not paths:
             print(f"--int8-calib {args.int8_calib}: no images found")
             return 2
-        frames = np.stack(
-            [load_image_u8(p, mc.height, mc.width) for p in paths[:64]]
-        )
-        model.calibrate_int8(frames)
-        print(f"int8: calibrated on {len(frames)} frames "
+        # ALL frames, in batches (repeat calls accumulate the running
+        # max) — a silent cap would calibrate on an unrepresentative
+        # prefix of the directory.
+        for i in range(0, len(paths), 32):
+            frames = np.stack(
+                [load_image_u8(p, mc.height, mc.width)
+                 for p in paths[i:i + 32]]
+            )
+            model.calibrate_int8(frames)
+        print(f"int8: calibrated on {len(paths)} frames "
               f"from {args.int8_calib}")
     sidecar = serving.export_depth(
         model,
@@ -1183,6 +1188,11 @@ def cmd_bench(args) -> int:
             )
         print(json.dumps(result))
         return 0
+    if args.int8 and args.mode != "depth_infer":
+        print(f"--int8 applies to --mode depth_infer only (got "
+              f"{args.mode}); refusing to print an f32 number under an "
+              "int8 flag")
+        return 2
     result = run_benchmark(
         mode=args.mode,
         batch_size=args.batch_size,

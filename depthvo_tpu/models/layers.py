@@ -36,9 +36,11 @@ class QuantConv(nn.Module):
       the serving program free of data-dependent reductions).
 
     ``calibrate=True`` runs the f32 convolution and records the scale;
-    otherwise the int8 path runs and requires a prior calibration
-    (uncalibrated scale-0 guards to a tiny epsilon, producing garbage —
-    the API asserts calibration happened, see ``api.calibrate_int8``).
+    otherwise the int8 path runs and requires a prior calibration: an
+    uncalibrated layer (a_max == 0) deliberately evaluates to NaN so a
+    missing calibration fails LOUDLY instead of returning garbage
+    (``api.calibrate_int8`` is the supported flow and also checks the
+    recorded scales).
     """
 
     features: int
@@ -80,7 +82,11 @@ class QuantConv(nn.Module):
                 strides, "SAME", rhs_dilation=dil, dimension_numbers=dn,
             )
         else:
-            a_scale = jnp.maximum(a_max.value, 1e-6) / 127.0
+            # NaN (not epsilon-garbage) when uncalibrated: see docstring.
+            a_scale = (
+                jnp.where(a_max.value > 0, a_max.value, jnp.float32(jnp.nan))
+                / 127.0
+            )
             x_q = jnp.clip(
                 jnp.round(x.astype(jnp.float32) / a_scale), -127, 127
             ).astype(jnp.int8)

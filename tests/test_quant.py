@@ -137,3 +137,28 @@ class TestDepthNetInt8:
 
         depth, _, _ = build_models(self._cfg())
         assert depth.quant_mode == "off"
+
+
+class TestGuards:
+    def test_uncalibrated_int8_is_nan_not_garbage(self, rng):
+        x = jnp.asarray(rng.normal(size=(1, 8, 12, 4)).astype(np.float32))
+        mod = QuantConv(6, kernel=3, calibrate=False)
+        variables = mod.init(jax.random.PRNGKey(0), x)  # a_max stays 0
+        y = mod.apply(
+            {"params": variables["params"], "quant": variables["quant"]}, x
+        )
+        assert np.isnan(np.asarray(y)).all()  # loud, not plausible garbage
+
+    def test_uncalibrate_restores_f32(self, rng):
+        from depthvo_tpu import api
+        from depthvo_tpu.configs import tiny_test
+
+        model = api.DepthVO.from_random(tiny_test(), seed=4)
+        imgs = rng.integers(0, 255, size=(2, 32, 96, 3), dtype=np.uint8)
+        d_f32 = model.depth(imgs)
+        model.calibrate_int8(imgs)
+        d_q = model.depth(imgs)
+        assert not np.allclose(d_q, d_f32)  # int8 noise: paths differ
+        model.uncalibrate()
+        assert model.quant is None
+        np.testing.assert_array_equal(model.depth(imgs), d_f32)
