@@ -162,3 +162,25 @@ class TestGuards:
         model.uncalibrate()
         assert model.quant is None
         np.testing.assert_array_equal(model.depth(imgs), d_f32)
+
+
+def test_int8_data_parallel_matches_single():
+    """Quantized inference composes with the DP mesh: to_mesh replicates
+    the quant scales and the sharded sweep matches single-device."""
+    import jax
+
+    from depthvo_tpu import api
+    from depthvo_tpu.configs import tiny_test
+    from depthvo_tpu.eval.runner import predict_depths
+    from depthvo_tpu.parallel import mesh as pmesh
+
+    assert len(jax.devices()) >= 8
+    model = api.DepthVO.from_random(tiny_test(), seed=7)
+    rng = np.random.default_rng(8)
+    frames = rng.integers(0, 256, size=(8, 32, 96, 3), dtype=np.uint8)
+    model.calibrate_int8(frames)
+    single = predict_depths(model, frames, batch_size=8)
+    mesh = pmesh.make_mesh(8)
+    model.to_mesh(mesh)
+    sharded = predict_depths(model, frames, batch_size=8, mesh=mesh)
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=1e-5)
