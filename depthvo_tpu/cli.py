@@ -460,7 +460,10 @@ def cmd_eval_depth(args) -> int:
         model=model,
         num_devices=args.num_devices,
         median_scale=not args.no_median_scale,
+        int8=args.int8,
     )
+    if args.int8:
+        metrics["split"]["int8"] = True
     print(json.dumps(metrics, indent=2))
     return 0
 
@@ -539,6 +542,11 @@ def cmd_infer(args) -> int:
             list(pool.map(lambda p: load_image_u8(p, h, w), paths))
         )
     bs = min(args.batch_size, len(paths))
+    if args.int8:
+        # w8a8 serving: calibrate on the inputs themselves (they ARE the
+        # representative frames for a directory sweep).
+        model.calibrate_int8(frames[: max(bs, 32)])
+        print("int8: calibrated; running the quantized program")
     # One warmup batch so the printed rate is the pipeline's, not XLA's
     # one-time compile (30+ s on a tunneled chip, cached afterwards).
     t0 = time.perf_counter()
@@ -1330,6 +1338,10 @@ def main(argv=None) -> int:
     p.add_argument("--pred-inverse", action="store_true",
                    help="stored maps are inverse depth (raw net output); "
                         "invert before the metric pass")
+    p.add_argument("--int8", action="store_true",
+                   help="run the w8a8 int8 serving path (calibrates on "
+                        "the split's first frames); quantifies the int8 "
+                        "accuracy cost on the real eval protocol")
     p.set_defaults(fn=cmd_eval_depth)
 
     p = sub.add_parser("eval-odom", help="KITTI odometry seq eval (t_err/r_err/ATE)")
@@ -1351,6 +1363,9 @@ def main(argv=None) -> int:
     p.add_argument("--save-png", action="store_true",
                    help="also write colormapped inverse-depth PNGs "
                         "(reference README figure style)")
+    p.add_argument("--int8", action="store_true",
+                   help="w8a8 int8 serving path (calibrates on the "
+                        "input frames; v5e int8 MXU peak is 2x bf16)")
     # Inference amortizes over bigger batches than training's default.
     p.set_defaults(fn=cmd_infer, batch_size=16)
 

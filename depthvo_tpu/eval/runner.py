@@ -167,6 +167,7 @@ def run_depth_eval(
     median_scale: bool = True,
     pred_path: str | None = None,
     pred_inverse: bool = False,
+    int8: bool = False,
 ) -> Dict[str, float]:
     """Eigen-split depth benchmark: read test frames + gt depth npz/npy,
     run batched inference, resize to gt, compute the metric table.
@@ -224,6 +225,10 @@ def run_depth_eval(
             max_depth=max_depth, median_scale=median_scale,
             pred_inverse=pred_inverse,
         )
+    if int8:
+        # w8a8 serving sweep: calibrate on the first frames of the split
+        # (representative by construction), then run quantized.
+        model.calibrate_int8(np.stack(frames[: max(batch_size, 32)]))
     mesh = None
     if num_devices is not None and num_devices > 1:
         # Data-parallel eval: weights replicated, batches sharded on
