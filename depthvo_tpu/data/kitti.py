@@ -111,11 +111,19 @@ def _image_size(path: str) -> Tuple[int, int]:
 
 
 def _scaled_K(K_full: np.ndarray, orig_wh: Tuple[int, int], out_wh: Tuple[int, int]) -> np.ndarray:
+    """Rescale intrinsics for the resize to ``out_wh``.
+
+    Same half-pixel-center correction as ``geometry.camera
+    .scale_intrinsics`` (the loaders resize with PIL, half-pixel
+    convention; the geometry core puts pixel centers at integers):
+    ``cx' = sx*(cx+0.5)-0.5``, i.e. row-scale plus ``(s-1)/2``."""
     sx = out_wh[0] / orig_wh[0]
     sy = out_wh[1] / orig_wh[1]
     K = K_full.copy()
     K[0, :] *= sx
     K[1, :] *= sy
+    K[0, 2] += (sx - 1.0) / 2.0
+    K[1, 2] += (sy - 1.0) / 2.0
     return K
 
 

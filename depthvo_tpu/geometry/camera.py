@@ -47,10 +47,25 @@ def scale_intrinsics(K: jax.Array, sx: float, sy: float) -> jax.Array:
 
     Mirrors the reference's data-prep step of scaling K to the resized
     608x160 resolution (SURVEY.md §3.4).
+
+    Convention: this module puts pixel CENTERS at integer coordinates
+    (see :func:`pixel_grid`), while the resizes feeding the loss pyramid
+    (``jax.image.resize``/PIL) use half-pixel centers — a point at pixel
+    ``u`` lands at ``sx*(u+0.5)-0.5`` in the resized image, NOT ``sx*u``.
+    The principal point therefore picks up a ``(s-1)/2`` offset on top of
+    the naive row scaling; omitting it biases every coarse pyramid scale
+    by up to ~0.44 px at 1/8 (the temporal warp's rotation flow depends
+    on the principal point, so the bias does not cancel there).
     """
     K = jnp.asarray(K, jnp.float32)
     scale = jnp.array([[sx, 1.0, sx], [1.0, sy, sy], [1.0, 1.0, 1.0]], jnp.float32)
-    return K * scale
+    shift = jnp.array(
+        [[0.0, 0.0, (sx - 1.0) / 2.0],
+         [0.0, 0.0, (sy - 1.0) / 2.0],
+         [0.0, 0.0, 0.0]],
+        jnp.float32,
+    )
+    return K * scale + shift
 
 
 def pixel_grid(height: int, width: int) -> jax.Array:

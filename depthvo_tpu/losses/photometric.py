@@ -70,7 +70,19 @@ def photometric_loss(
     l1 = masked_l1(warped, target, valid)
     if ssim_weight == 0.0:
         return l1
-    s = ssim(warped, target)
-    m = valid.astype(jnp.float32)[:, 1:-1, 1:-1, None]
+    # Mask BEFORE pooling, and score only fully-valid 3x3 windows:
+    # invalid warp outputs are backend-dependent garbage by contract
+    # (clamped gathers on the XLA path, zeros on the Pallas path — see
+    # ops/warp_pallas.py "callers MUST mask"), so (a) they must not leak
+    # into neighboring windows' statistics and (b) the loss must emit a
+    # ZERO cotangent at them (the kernels drop those gradient taps).
+    # Multiplying by the mask up front guarantees both; eroding the mask
+    # to full-support windows keeps the masked zeros from biasing the
+    # windows that ARE scored.
+    mv = valid.astype(jnp.float32)[..., None]
+    s = ssim(warped * mv, target * mv)
+    m = jax.lax.reduce_window(
+        mv, 1.0, jax.lax.min, (1, 3, 3, 1), (1, 1, 1, 1), "VALID"
+    )
     dssim = jnp.sum((1.0 - s) * 0.5 * m) / (jnp.sum(m) * s.shape[-1] + 1e-6)
     return (1.0 - ssim_weight) * l1 + ssim_weight * dssim

@@ -105,21 +105,18 @@ def stereo_warp(src, depth, fx_baseline, use_pallas: bool | None = None,
         if dmax is None:
             return warp_pallas.stereo_warp(src, depth, fx_baseline)
         return warp_pallas.stereo_warp(src, depth, fx_baseline, dmax=dmax)
-    # jnp fallback: same math through the reference bilinear sampler.
+    # jnp fallback: same coordinate/mask math (SHARED helpers — the two
+    # backends cannot fork semantics) through the reference sampler.
     B, H, W, C = src.shape
     if depth.ndim == 4:
         depth = depth[..., 0]
-    disparity = jnp.reshape(jnp.asarray(fx_baseline, jnp.float32), (-1, 1, 1)) / depth
-    cols = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    disparity, u = warp_pallas.stereo_disparity_u(depth, fx_baseline, W)
     rows = jnp.broadcast_to(
         jnp.arange(H, dtype=jnp.float32)[None, :, None], depth.shape
     )
-    u = cols - disparity
     coords = jnp.stack([u, rows], axis=-1)
     warped, in_bounds = _ref_warp.bilinear_sample(src, coords)
-    # bilinear_sample's footprint check already excludes the last row
-    # (v0+1 == H), matching the kernel path's mask semantics.
-    valid = in_bounds & (depth > 0)
-    if dmax is not None:
-        valid = valid & (disparity >= 0) & (disparity <= dmax)
+    valid = in_bounds & warp_pallas.stereo_valid_mask(
+        depth, disparity, u, H, W, dmax
+    )
     return warped, valid

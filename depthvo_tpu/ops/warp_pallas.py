@@ -179,11 +179,21 @@ def _stereo_bwd_src_kernel(g_ref, u_ref, out_ref, *, dmax):
         out_ref[c, :, :] = acc
 
 
-def _pad_hw(x, Hp, Wp, H, W):
+def _pad_hw(x, Hp, Wp, H, W, mode="constant"):
+    """Pad the trailing (H, W) dims up to the tile grid.
+
+    ``mode="edge"`` matters for the general kernel's COORDINATE planes:
+    zero-padding them makes every padded lane carry v=0, which fires the
+    candidate-row probe for rows 0/1 in EVERY tile (KITTI 608 is not a
+    multiple of 128, so ~25% of lanes are padding) — pure wasted gather
+    work. Edge replication gives padded lanes the same v as a real
+    neighbor in their tile, so no row fires that would not fire anyway;
+    padded outputs are sliced off regardless.
+    """
     if (Hp, Wp) == (H, W):
         return x
     pads = [(0, 0)] * (x.ndim - 2) + [(0, Hp - H), (0, Wp - W)]
-    return jnp.pad(x, pads)
+    return jnp.pad(x, pads, mode=mode)
 
 
 def _stereo_sample_impl(src, u, dmax):
@@ -457,8 +467,8 @@ def _gen_sample_impl(src, u, v, pad_v, emit_grad_aux=False):
     Hp = -(-H // TILE_ROWS) * TILE_ROWS
     rv = 2 * pad_v + TILE_ROWS
     src_chw = _pad_hw(jnp.transpose(src.astype(jnp.float32), (0, 3, 1, 2)), Hp, Wp, H, W)
-    up = _pad_hw(jnp.clip(u, 0.0, W - 1), Hp, Wp, H, W)
-    vp = _pad_hw(jnp.clip(v, 0.0, H - 1), Hp, Wp, H, W)
+    up = _pad_hw(jnp.clip(u, 0.0, W - 1), Hp, Wp, H, W, mode="edge")
+    vp = _pad_hw(jnp.clip(v, 0.0, H - 1), Hp, Wp, H, W, mode="edge")
     srow_specs, tile_spec, ctile_spec = _gen_specs(B, C, Hp, Wp, pad_v)
     ctile_shape = jax.ShapeDtypeStruct((B, C, Hp, Wp), jnp.float32)
     n_out = 3 if emit_grad_aux else 1
@@ -603,23 +613,40 @@ def stereo_warp(
     B, H, W, C = src.shape
     if depth.ndim == 4:
         depth = depth[..., 0]
-    disparity = jnp.reshape(jnp.asarray(fx_baseline, jnp.float32), (-1, 1, 1)) / depth
-    cols = jnp.arange(W, dtype=jnp.float32)[None, None, :]
-    u = cols - disparity
-    u0 = jnp.floor(u)
-    # Footprint semantics match geometry.warp.bilinear_sample: the 4-tap
-    # footprint must lie inside the image, so the last row (v0+1 == H)
-    # is invalid even though its vertical weight is zero.
-    rows_ok = (
-        jnp.arange(H, dtype=jnp.int32)[None, :, None] + 1 <= H - 1
+    disparity, u = stereo_disparity_u(depth, fx_baseline, W)
+    valid = stereo_valid_mask(depth, disparity, u, H, W, dmax)
+    warped = _stereo_sample(src, u, dmax)
+    return warped, valid
+
+
+def stereo_disparity_u(depth: jax.Array, fx_baseline, W: int):
+    """Shared stereo coordinate math: ``disparity = fx*b/depth`` and the
+    horizontal sample coordinate ``u = col - disparity``.
+
+    ONE definition used by both the kernel path (above) and the jnp
+    fallback (``ops.stereo_warp``) so the two backends can never fork
+    their coordinate semantics."""
+    if depth.ndim == 4:
+        depth = depth[..., 0]
+    disparity = (
+        jnp.reshape(jnp.asarray(fx_baseline, jnp.float32), (-1, 1, 1)) / depth
     )
+    cols = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    return disparity, cols - disparity
+
+
+def stereo_valid_mask(depth, disparity, u, H: int, W: int, dmax) -> jax.Array:
+    """Shared stereo validity: 4-tap footprint in-image (the last row is
+    invalid even at zero vertical weight — bilinear_sample semantics),
+    positive depth, and the static disparity bound."""
+    u0 = jnp.floor(u)
+    rows_ok = jnp.arange(H, dtype=jnp.int32)[None, :, None] + 1 <= H - 1
     valid = (
         (u0 >= 0.0)
         & (u0 + 1.0 <= W - 1)
         & (depth > 0)
         & rows_ok
-        & (disparity >= 0)
-        & (disparity <= dmax)
     )
-    warped = _stereo_sample(src, u, dmax)
-    return warped, valid
+    if dmax is not None:
+        valid = valid & (disparity >= 0) & (disparity <= dmax)
+    return valid

@@ -223,19 +223,7 @@ def make_train_step(
     """
     models = build_models(config)
     tx = make_optimizer(config)
-
-    def step_fn(state: TrainState, batch):
-        def loss_fn(params):
-            return compute_losses(
-                config, models, params, state.batch_stats, batch, train=True
-            )
-
-        grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(
-            grads=grads, new_batch_stats=new_bs, tx=tx
-        )
-        metrics["grad/global_norm"] = _global_norm(grads)
-        return new_state, metrics
+    step_fn = _single_step(config, models, tx)
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0)
@@ -251,10 +239,33 @@ def make_train_step(
     )
 
 
+def _single_step(config, models, tx):
+    """One fwd+bwd+update step — the SHARED body of make_train_step and
+    make_scan_train_step's scan (one definition, no hand-synced copies)."""
+
+    def step_fn(state: TrainState, batch):
+        def loss_fn(params):
+            return compute_losses(
+                config, models, params, state.batch_stats, batch, train=True
+            )
+
+        grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(
+            grads=grads, new_batch_stats=new_bs, tx=tx
+        )
+        metrics["grad/global_norm"] = _global_norm(grads)
+        return new_state, metrics
+
+    return step_fn
+
+
 def make_scan_train_step(
-    config: ExperimentConfig, mesh=None, steps_per_call: int = 8, unroll: int = 1
+    config: ExperimentConfig, mesh=None, unroll: int = 1
 ):
     """Multiple optimizer steps per dispatch via ``lax.scan``.
+
+    K (the steps per dispatch) is the stacked batch's leading dimension —
+    the returned fn runs exactly ``stacked_batch.shape[0]`` steps.
 
     The reference pays a Python->C++ transition per Caffe iteration
     (SURVEY.md §3.1); a naive port pays a host->device dispatch per step,
@@ -276,21 +287,9 @@ def make_scan_train_step(
     """
     models = build_models(config)
     tx = make_optimizer(config)
+    body = _single_step(config, models, tx)
 
     def multi_step(state: TrainState, batches):
-        def body(st, batch):
-            def loss_fn(params):
-                return compute_losses(
-                    config, models, params, st.batch_stats, batch, train=True
-                )
-
-            grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(st.params)
-            new_st = st.apply_gradients(
-                grads=grads, new_batch_stats=new_bs, tx=tx
-            )
-            metrics["grad/global_norm"] = _global_norm(grads)
-            return new_st, metrics
-
         state, metrics = jax.lax.scan(body, state, batches, unroll=unroll)
         last = jax.tree.map(lambda m: m[-1], metrics)
         return state, last
@@ -467,7 +466,7 @@ def fit(
             )
     state = jax.device_put(state, pmesh.replicated(mesh))
     if steps_per_call > 1:
-        step_fn = make_scan_train_step(config, mesh, steps_per_call)
+        step_fn = make_scan_train_step(config, mesh)
     else:
         step_fn = make_train_step(config, mesh)
     eval_fn = None
@@ -519,6 +518,16 @@ def fit(
         while i < num_steps:
             action = signals.pending()
             if action is not None:
+                if ckpt_mgr is None:
+                    # The operator expects a snapshot ("snapshot" action,
+                    # or the snapshot half of "stop") — dropping it
+                    # silently while logging signal/... would fake
+                    # success. Say so, loudly.
+                    print(
+                        f"signal {action}: NO checkpoint_dir — nothing "
+                        "snapshotted (training state is not saved)",
+                        flush=True,
+                    )
                 # Skip if the periodic snapshot just saved this exact step
                 # (orbax refuses to overwrite an existing step).
                 if ckpt_mgr is not None and ckpt_mgr.latest_step() != int(state.step):

@@ -404,9 +404,7 @@ def run_benchmark(
             batch = pmesh.shard_stacked_batch(
                 train_loop.stack_batches([batch_np] * K_SCAN), mesh
             )
-            step_fn = train_loop.make_scan_train_step(
-                cfg, mesh, steps_per_call=K_SCAN
-            )
+            step_fn = train_loop.make_scan_train_step(cfg, mesh)
             stats_scale = K_SCAN
             extra = {"steps_per_call": K_SCAN}
         else:

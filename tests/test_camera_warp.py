@@ -39,12 +39,35 @@ class TestCamera:
         assert not bool(valid[0, 0, 0])
 
     def test_scale_intrinsics(self):
+        # Half-pixel-center resize convention: cx' = sx*(cx+0.5)-0.5.
         K2 = camera.scale_intrinsics(K, 0.5, 0.25)
         np.testing.assert_allclose(K2[0, 0], K[0, 0] * 0.5)
         np.testing.assert_allclose(K2[1, 1], K[1, 1] * 0.25)
-        np.testing.assert_allclose(K2[0, 2], K[0, 2] * 0.5)
-        np.testing.assert_allclose(K2[1, 2], K[1, 2] * 0.25)
+        np.testing.assert_allclose(K2[0, 2], 0.5 * (K[0, 2] + 0.5) - 0.5)
+        np.testing.assert_allclose(K2[1, 2], 0.25 * (K[1, 2] + 0.5) - 0.5)
         np.testing.assert_allclose(K2[2, 2], 1.0)
+
+    def test_scale_intrinsics_matches_resize_convention(self):
+        # A 3D point projecting to pixel u at full res must project to
+        # sx*(u+0.5)-0.5 in an image resized by sx with half-pixel
+        # centers (jax.image.resize / PIL) — the scaled K must agree.
+        pt = jnp.array([[[[2.0, 1.0, 10.0]]]])  # (1,1,1,3)
+        coords, _ = camera.project(pt, K)
+        sx, sy = 0.5, 0.25
+        K2 = camera.scale_intrinsics(K, sx, sy)
+        coords2, _ = camera.project(pt, K2)
+        u, v = float(coords[0, 0, 0, 0]), float(coords[0, 0, 0, 1])
+        u2, v2 = float(coords2[0, 0, 0, 0]), float(coords2[0, 0, 0, 1])
+        np.testing.assert_allclose(u2, sx * (u + 0.5) - 0.5, rtol=1e-6)
+        np.testing.assert_allclose(v2, sy * (v + 0.5) - 0.5, rtol=1e-6)
+
+    def test_data_side_scaled_K_matches_geometry_side(self):
+        from depthvo_tpu.data.kitti import _scaled_K
+
+        Kf = np.asarray(K, np.float64)
+        got = _scaled_K(Kf.copy(), (608, 160), (304, 40))
+        want = np.asarray(camera.scale_intrinsics(K, 304 / 608, 40 / 160))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
     def test_transform_points_identity(self, rng):
         pts = jnp.asarray(rng.normal(size=(1, H, W, 3)), jnp.float32)

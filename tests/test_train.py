@@ -231,7 +231,7 @@ def test_scan_train_step_matches_sequential():
     state_c = jax.device_put(
         create_state(cfg, jax.random.PRNGKey(0)), pmesh.replicated(mesh)
     )
-    scan1 = train_loop.make_scan_train_step(cfg, mesh, steps_per_call=1)
+    scan1 = train_loop.make_scan_train_step(cfg, mesh)
     _, m_c = scan1(state_c, pmesh.shard_batch(train_loop.stack_batches(batches[:1]), mesh))
     state_a0 = jax.device_put(
         create_state(cfg, jax.random.PRNGKey(0)), pmesh.replicated(mesh)
@@ -254,7 +254,7 @@ def test_scan_train_step_matches_sequential():
     state_b = jax.device_put(
         create_state(cfg, jax.random.PRNGKey(0)), pmesh.replicated(mesh)
     )
-    scan_step = train_loop.make_scan_train_step(cfg, mesh, steps_per_call=3)
+    scan_step = train_loop.make_scan_train_step(cfg, mesh)
     stacked = pmesh.shard_batch(train_loop.stack_batches(batches), mesh)
     state_b, m_b = scan_step(state_b, stacked)
 
@@ -467,7 +467,7 @@ def test_scan_step_shards_batch_axis_over_mesh():
         state = jax.device_put(
             create_state(cfg, jax.random.PRNGKey(0)), pmesh.replicated(mesh)
         )
-        step = train_loop.make_scan_train_step(cfg, mesh, steps_per_call=K)
+        step = train_loop.make_scan_train_step(cfg, mesh)
         state, metrics = step(state, sharded)
         return float(metrics["loss/total"])
 
