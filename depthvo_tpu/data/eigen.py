@@ -90,15 +90,18 @@ def parse_split_file(path: str) -> List[Tuple[str, int]]:
 
 
 def enumerate_test_frames(
-    kitti_root: str, scenes: Sequence[str] = EIGEN_TEST_SCENES
+    kitti_root: str, scenes: Sequence[str] = EIGEN_TEST_SCENES,
+    cam: int = 2,
 ) -> List[Tuple[str, int]]:
-    """All frames of the given drives that have BOTH a left image and a
-    velodyne scan on disk (the derivable stand-in when no canonical
-    split file is supplied)."""
+    """All frames of the given drives that have BOTH an image (of the
+    target camera) and a velodyne scan on disk (the derivable stand-in
+    when no canonical split file is supplied)."""
     out: List[Tuple[str, int]] = []
     for drive in scenes:
         date = drive.split("_drive_")[0]
-        img_dir = os.path.join(kitti_root, date, drive, "image_02", "data")
+        img_dir = os.path.join(
+            kitti_root, date, drive, f"image_{cam:02d}", "data"
+        )
         velo_dir = os.path.join(
             kitti_root, date, drive, "velodyne_points", "data"
         )
@@ -134,7 +137,9 @@ def prep_eigen(
     frames = (
         parse_split_file(split_file)
         if split_file
-        else enumerate_test_frames(kitti_root, scenes or EIGEN_TEST_SCENES)
+        else enumerate_test_frames(
+            kitti_root, scenes or EIGEN_TEST_SCENES, cam=cam
+        )
     )
     gt_dir = os.path.join(out_dir, "gt")
     os.makedirs(gt_dir, exist_ok=True)
@@ -152,8 +157,11 @@ def prep_eigen(
         lf.write(f"# split-source: {source}\n")
         for drive, frame in frames:
             date = drive.split("_drive_")[0]
+            # The image paired with the gt must come from the SAME camera
+            # the gt was projected into (cam=3 with image_02 frames would
+            # skew every metric by the stereo baseline).
             img_rel = os.path.join(
-                date, drive, "image_02", "data", f"{frame:010d}.png"
+                date, drive, f"image_{cam:02d}", "data", f"{frame:010d}.png"
             )
             velo = os.path.join(
                 kitti_root, date, drive, "velodyne_points", "data",

@@ -204,7 +204,10 @@ class KittiRawStereo:
             ddir = os.path.join(root, date, drive)
             left_dir = os.path.join(ddir, "image_02", "data")
             right_dir = os.path.join(ddir, "image_03", "data")
-            if not os.path.isdir(left_dir):
+            # BOTH cameras must exist: image_03 ships as a separate KITTI
+            # archive, and silently building samples against a missing
+            # right camera would crash mid-training at first touch.
+            if not os.path.isdir(left_dir) or not os.path.isdir(right_dir):
                 continue
             calib = read_raw_calib(os.path.join(root, date, "calib_cam_to_cam.txt"))
             P = calib["P_rect_02"].reshape(3, 4)
@@ -281,6 +284,13 @@ class KittiRawStereo:
         ``native_ring=None`` picks the ring when the native library
         builds and all samples are PNGs.
         """
+        if len(self.samples) < batch_size:
+            # A too-small dataset (typo'd root, missing drives) would
+            # otherwise spin forever reshuffling and yielding nothing.
+            raise ValueError(
+                f"dataset has {len(self.samples)} samples < batch_size "
+                f"{batch_size} — check the data root / drive list"
+            )
         if native_ring is None:
             native_ring = bool(_native()) and all(
                 s[0].lower().endswith(".png") for s in self.samples[:8]
@@ -498,9 +508,10 @@ class KittiOdometrySequence:
         pose_path = os.path.join(root, "poses", sequence + ".txt")
         self.gt_poses = None
         if os.path.isfile(pose_path):
-            raw = np.loadtxt(pose_path, dtype=np.float64).reshape(-1, 3, 4)
-            bottom = np.tile(np.array([[0.0, 0.0, 0.0, 1.0]]), (raw.shape[0], 1, 1))
-            self.gt_poses = np.concatenate([raw, bottom], axis=1)
+            # One pose-file reader (12-column validation included).
+            from depthvo_tpu.eval.odometry import read_kitti_poses
+
+            self.gt_poses = read_kitti_poses(pose_path)
 
     def __len__(self) -> int:
         return len(self.frame_paths)

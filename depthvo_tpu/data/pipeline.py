@@ -44,6 +44,13 @@ def prefetch_to_device(
     ``shard_fn(batch, mesh)`` overrides the placement (default
     ``parallel.mesh.shard_batch``; scan-mode super-batches pass
     ``shard_stacked_batch`` so the PER-STEP batch axis is the sharded one).
+
+    Failure semantics (Caffe's InternalThread aborts the process on a
+    decode error; here the error crosses the thread): an exception in the
+    producer (corrupt PNG, shard failure) RE-RAISES in the consumer
+    instead of masquerading as clean end-of-iteration. A consumer that
+    abandons the generator unblocks and stops the producer (no thread or
+    queued-HBM-batch leak).
     """
     if mesh is None:
         mesh = pmesh.make_mesh(1)
@@ -51,23 +58,45 @@ def prefetch_to_device(
         shard_fn = pmesh.shard_batch
     q: queue.Queue = queue.Queue(maxsize=buffer_size)
     stop = threading.Event()
+    _END = object()
 
     def producer():
         try:
             for batch in it:
                 if stop.is_set():
                     return
-                q.put(shard_fn(batch, mesh))
-        finally:
-            q.put(None)
+                item = shard_fn(batch, mesh)
+                # Bounded put so an abandoned consumer cannot strand the
+                # thread inside q.put forever (it re-checks `stop`).
+                while True:
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            return
+        except BaseException as e:  # propagate, don't fake end-of-data
+            q.put(e)
+            return
+        q.put(_END)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
     try:
         while True:
             item = q.get()
-            if item is None:
+            if item is _END:
                 return
+            if isinstance(item, BaseException):
+                raise RuntimeError(
+                    "prefetch producer thread failed; see cause"
+                ) from item
             yield item
     finally:
         stop.set()
+        # Drain one slot so a producer blocked on a full queue can see
+        # `stop` and exit promptly.
+        try:
+            q.get_nowait()
+        except queue.Empty:
+            pass

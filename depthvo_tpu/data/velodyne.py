@@ -107,7 +107,10 @@ def generate_gt_depth(
 
     date = drive.split("_drive_")[0]
     ddir = os.path.join(kitti_root, date, drive)
-    img = os.path.join(ddir, "image_02", "data", f"{frame_idx:010d}.png")
+    # The projection target camera's own image plane (cam=3 frames can
+    # differ in native size from cam=2 only across campaigns, but the gt
+    # must be sized for the camera it is projected into).
+    img = os.path.join(ddir, f"image_{cam:02d}", "data", f"{frame_idx:010d}.png")
     velo_path = os.path.join(
         ddir, "velodyne_points", "data", f"{frame_idx:010d}.bin"
     )

@@ -92,5 +92,11 @@ def compute_depth_metrics(
         )
         if row is not None:
             rows.append(row)
+    if not rows:
+        raise ValueError(
+            "depth eval produced no valid frames: every gt map has zero "
+            "valid pixels inside the Garg crop / depth caps (empty split, "
+            "or gt and crop conventions disagree)"
+        )
     mean = np.mean(np.stack(rows), axis=0)
     return dict(zip(DEPTH_METRIC_NAMES, mean.tolist()))

@@ -18,7 +18,7 @@ Caffe schema field numbers (BVLC caffe.proto, public and frozen):
   V1LayerParameter: name=4 (string), type=5 (enum), blobs=6 (BlobProto).
   BlobProto:      num=1, channels=2, height=3, width=4 (legacy dims),
                   data=5 (repeated float, usually packed),
-                  shape=7 (BlobShape), double_data=9.
+                  shape=7 (BlobShape), double_data=8 (double_diff=9).
   BlobShape:      dim=1 (repeated int64, packed).
 
 Conversion notes (SURVEY.md §7 hard parts):
@@ -72,6 +72,14 @@ def iter_fields(buf: memoryview) -> Iterator[Tuple[int, int, memoryview | int]]:
             pos += 8
         elif wt == 2:
             ln, pos = _read_varint(buf, pos)
+            if pos + ln > n:
+                # A truncated file (partial download) must fail loudly:
+                # a silent short slice would "parse" with missing
+                # trailing weights, defeating the fidelity gate.
+                raise ValueError(
+                    f"truncated protobuf: field {field} declares {ln} "
+                    f"bytes but only {n - pos} remain"
+                )
             val = buf[pos : pos + ln]
             pos += ln
         elif wt == 5:
@@ -117,7 +125,8 @@ def _parse_blob(buf: memoryview) -> np.ndarray:
                     shape.extend(_packed_varints(v2, wt2))
         elif field in (1, 2, 3, 4) and wt == 0:  # legacy num/chan/h/w
             legacy[field] = int(val)
-        elif field == 9:  # double_data
+        elif field == 8:  # double_data (field 9 is double_DIFF: gradients,
+            # which must never be concatenated into the weights)
             chunk = np.frombuffer(val, dtype="<f8").astype(np.float32)
             data = chunk if data is None else np.concatenate([data, chunk])
     if data is None:
@@ -226,6 +235,12 @@ def conv_params(layer: Dict, flip_bgr: bool = False) -> Dict[str, np.ndarray]:
     blobs = layer["blobs"]
     w = blobs[0]
     out: Dict[str, np.ndarray] = {}
+    if w.ndim == 4 and w.shape[0] == 1 and w.shape[1] == 1 and w.shape[2] > 1:
+        # Legacy V1 InnerProduct blobs carry num/channels/height/width
+        # dims (1, 1, out, in) — a dense matrix wearing 4-D legacy
+        # clothes, NOT a 1-channel conv (a real 1x1 conv is OIHW with
+        # the ones TRAILING: (O, I, 1, 1)).
+        w = w.reshape(w.shape[2], w.shape[3])
     if w.ndim == 4:
         kernel = oihw_to_hwio(w)
         if flip_bgr:

@@ -200,3 +200,52 @@ class TestConversions:
         assert params["kernel"].shape == (20, 6)
         x = rng.normal(size=(20,)).astype(np.float32)
         np.testing.assert_allclose(x @ params["kernel"], w @ x, rtol=1e-5)
+
+
+class TestParserHardening:
+    """Review findings 2026-08-18: double_data field number, truncation,
+    legacy InnerProduct 4-D blobs."""
+
+    def test_double_data_is_field_8_not_9(self):
+        # double_data=8; field 9 is double_DIFF (gradients) and must be
+        # ignored, not concatenated into the weights.
+        w = np.arange(6, dtype=np.float64).reshape(2, 3)
+        blob = _len_delim(7, _packed_varints(1, w.shape))
+        blob += _len_delim(8, w.reshape(-1).tobytes())  # double_data
+        blob += _len_delim(9, (w + 100).reshape(-1).tobytes())  # double_diff
+        payload = _len_delim(1, b"fc") + _len_delim(2, b"InnerProduct")
+        payload += _len_delim(7, blob)
+        raw = _len_delim(100, payload)
+        layers = caffemodel.parse_caffemodel(raw)
+        got = layers["fc"]["blobs"][0]
+        np.testing.assert_allclose(got, w.astype(np.float32))
+
+    def test_truncated_file_raises(self):
+        w = np.ones((4, 3), np.float32)
+        raw = _len_delim(
+            100,
+            _len_delim(1, b"fc") + _len_delim(2, b"InnerProduct")
+            + _len_delim(7, encode_blob(w)),
+        )
+        with pytest.raises(ValueError, match="truncated"):
+            caffemodel.parse_caffemodel(raw[:-5])
+
+    def test_legacy_ip_4d_blob_is_dense_not_conv(self):
+        # V1 InnerProduct blobs carry legacy dims (1, 1, out, in).
+        w = np.random.default_rng(0).normal(size=(5, 7)).astype(np.float32)
+        w4 = w.reshape(1, 1, 5, 7)
+        params = caffemodel.conv_params(
+            {"blobs": [w4], "type": "InnerProduct"}
+        )
+        assert params["kernel"].shape == (7, 5)  # (in, out) dense
+        x = np.ones((7,), np.float32)
+        np.testing.assert_allclose(
+            x @ params["kernel"], w @ x, rtol=1e-5
+        )
+
+    def test_real_1x1_conv_still_a_conv(self):
+        w = np.random.default_rng(0).normal(size=(5, 7, 1, 1)).astype(
+            np.float32
+        )  # OIHW 1x1 conv: trailing ones
+        params = caffemodel.conv_params({"blobs": [w], "type": "Convolution"})
+        assert params["kernel"].shape == (1, 1, 7, 5)  # HWIO

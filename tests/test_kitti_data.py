@@ -365,3 +365,54 @@ def test_prep_eigen_train_excludes_test_scenes(tmp_path):
     assert rc == 0
     body = open(out).read()
     assert "drive_0001" in body and "drive_0002" not in body
+
+
+def test_prefetch_propagates_producer_errors():
+    """A decode error in the producer thread must re-raise in the
+    consumer, not masquerade as clean end-of-iteration."""
+    import pytest
+
+    from depthvo_tpu.data.pipeline import prefetch_to_device
+
+    def bad_iter():
+        yield {"x": np.ones((2, 2), np.float32)}
+        raise RuntimeError("corrupt PNG")
+
+    it = prefetch_to_device(bad_iter(), shard_fn=lambda b, m: b)
+    next(it)
+    with pytest.raises(RuntimeError, match="producer thread failed"):
+        next(it)
+
+
+def test_prefetch_consumer_abandon_stops_producer():
+    import threading
+    import time as _time
+
+    from depthvo_tpu.data.pipeline import prefetch_to_device
+
+    produced = []
+
+    def slow_iter():
+        for i in range(1000):
+            produced.append(i)
+            yield {"x": np.full((1,), i, np.float32)}
+
+    before = threading.active_count()
+    it = prefetch_to_device(slow_iter(), buffer_size=1,
+                            shard_fn=lambda b, m: b)
+    next(it)
+    it.close()  # abandon
+    _time.sleep(1.5)
+    assert threading.active_count() <= before + 1
+    assert len(produced) < 10  # producer stopped, not drained 1000
+
+
+def test_tiny_dataset_errors_instead_of_spinning(tmp_path, raw_tree):
+    import pytest
+
+    from depthvo_tpu.data import kitti
+
+    root, drive = raw_tree
+    ds = kitti.KittiRawStereo(root, [drive], height=16, width=48)
+    with pytest.raises(ValueError, match="< batch_size"):
+        next(ds.iterator(batch_size=len(ds) + 1))
