@@ -27,13 +27,17 @@ def smoothness_loss(
     image: jax.Array | None = None,
     edge_aware: bool = True,
     normalize: bool = True,
+    image_layout: str = "nhwc",
 ) -> jax.Array:
     """Smoothness penalty on an inverse-depth map.
 
     Args:
       disp: (B, H, W, 1) inverse depth.
-      image: (B, H, W, 3) the corresponding RGB frame (required when
-        ``edge_aware``); gradients are down-weighted by exp(-|dI|).
+      image: the corresponding RGB frame (required when ``edge_aware``);
+        gradients are down-weighted by exp(-|dI|). (B, H, W, 3) for
+        ``image_layout="nhwc"``, (B, 3, H, W) for ``"chw"`` (the train
+        loss graph keeps its image pyramid in the warp kernels' CHW
+        layout; the penalty is identical either way).
       edge_aware: weight disparity gradients by image-gradient magnitude.
       normalize: divide disp by its per-image mean first (prevents the
         regularizer from simply shrinking the depth scale).
@@ -49,8 +53,15 @@ def smoothness_loss(
         if image is None:
             raise ValueError("edge_aware smoothness requires the image")
         img = image.astype(jnp.float32)
-        wx = jnp.exp(-jnp.mean(jnp.abs(_grad_x(img)), axis=-1, keepdims=True))
-        wy = jnp.exp(-jnp.mean(jnp.abs(_grad_y(img)), axis=-1, keepdims=True))
+        if image_layout == "chw":
+            # Channel mean over axis 1; spatial grads on trailing dims.
+            gx = jnp.abs(img[:, :, :, 1:] - img[:, :, :, :-1])
+            gy = jnp.abs(img[:, :, 1:, :] - img[:, :, :-1, :])
+            wx = jnp.exp(-jnp.mean(gx, axis=1))[..., None]
+            wy = jnp.exp(-jnp.mean(gy, axis=1))[..., None]
+        else:
+            wx = jnp.exp(-jnp.mean(jnp.abs(_grad_x(img)), axis=-1, keepdims=True))
+            wy = jnp.exp(-jnp.mean(jnp.abs(_grad_y(img)), axis=-1, keepdims=True))
         dx = dx * wx
         dy = dy * wy
     return jnp.mean(dx) + jnp.mean(dy)

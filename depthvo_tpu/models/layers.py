@@ -236,6 +236,16 @@ def resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jax.image.resize(x, (b, h, w, c), method="linear")
 
 
+def resize_bilinear_chw(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """``resize_bilinear`` for (B, C, H, W) tensors — same separable
+    kernel on the trailing spatial dims, so values are identical to
+    resizing the NHWC transpose."""
+    import jax
+
+    b, c = x.shape[:2]
+    return jax.image.resize(x, (b, c, h, w), method="linear")
+
+
 class UpConv(nn.Module):
     """Upsample 2x then conv — the decoder unit (replaces the reference's
     deconv layers; NN-upsample+conv avoids checkerboard artifacts and maps

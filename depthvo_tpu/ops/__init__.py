@@ -79,6 +79,41 @@ def frozen_warp(src, depth, T, K, use_pallas: bool | None = None,
     return _ref_warp.inverse_warp(jax.lax.stop_gradient(src), depth, T, K)
 
 
+def frozen_warp_chw(src_chw, depth, T, K, use_pallas: bool | None = None,
+                    pad_v: int | None = None):
+    """``frozen_warp`` over a (B,C,H,W) source, returning (B,C,H,W).
+
+    The training loss graph keeps its photometric region in the kernel's
+    CHW layout (one transpose per input image per step instead of layout
+    conversions around every warp custom-call; measured step time is
+    unchanged — see compute_losses — the surface exists because CHW is
+    the kernel's native layout). The jnp fallback transposes to NHWC
+    and back (CPU-only path; correctness, not speed).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and src_chw.ndim == 4:
+        from depthvo_tpu.ops import warp_pallas
+
+        H = src_chw.shape[2]
+        Hp = -(-H // 8) * 8
+        if pad_v is None:
+            pad_v = warp_pallas.GEN_PAD_V
+        if pad_v % 8:
+            raise ValueError(f"pad_v must be a multiple of 8, got {pad_v}")
+        while pad_v > 8 and Hp < 2 * pad_v + 8:
+            pad_v = max(8, (pad_v // 2 + 7) // 8 * 8)
+        if Hp >= 2 * pad_v + 8:
+            return warp_pallas.general_warp_frozen_src_chw(
+                src_chw, depth, T, K, pad_v=pad_v
+            )
+    src = jnp.transpose(src_chw, (0, 2, 3, 1))
+    warped, valid = _ref_warp.inverse_warp(
+        jax.lax.stop_gradient(src), depth, T, K
+    )
+    return jnp.transpose(warped, (0, 3, 1, 2)), valid
+
+
 def stereo_warp(src, depth, fx_baseline, use_pallas: bool | None = None,
                 dmax: int | None = None):
     """Rectified-stereo inverse warp (sample ``src`` at x - fx*b/depth).
@@ -120,3 +155,24 @@ def stereo_warp(src, depth, fx_baseline, use_pallas: bool | None = None,
         depth, disparity, u, H, W, dmax
     )
     return warped, valid
+
+
+def stereo_warp_chw(src_chw, depth, fx_baseline,
+                    use_pallas: bool | None = None, dmax: int | None = None):
+    """``stereo_warp`` over a (B,C,H,W) source, returning (B,C,H,W).
+    See ``frozen_warp_chw`` for why the CHW surface exists."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    from depthvo_tpu.ops import warp_pallas
+
+    if use_pallas and src_chw.ndim == 4:
+        if dmax is None:
+            return warp_pallas.stereo_warp_chw(src_chw, depth, fx_baseline)
+        return warp_pallas.stereo_warp_chw(
+            src_chw, depth, fx_baseline, dmax=dmax
+        )
+    src = jnp.transpose(src_chw, (0, 2, 3, 1))
+    warped, valid = stereo_warp(
+        src, depth, fx_baseline, use_pallas=False, dmax=dmax
+    )
+    return jnp.transpose(warped, (0, 3, 1, 2)), valid

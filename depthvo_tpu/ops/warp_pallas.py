@@ -196,12 +196,12 @@ def _pad_hw(x, Hp, Wp, H, W, mode="constant"):
     return jnp.pad(x, pads, mode=mode)
 
 
-def _stereo_sample_impl(src, u, dmax):
-    """Forward kernel launch. src (B,H,W,C) f32; u (B,H,W) f32 clamped."""
-    B, H, W, C = src.shape
+def _stereo_sample_chw_impl(src_chw, u, dmax):
+    """Forward kernel launch. src_chw (B,C,H,W) f32; u (B,H,W) f32."""
+    B, C, H, W = src_chw.shape
     Wp = -(-W // LANE) * LANE
     Hp = -(-H // TILE_ROWS) * TILE_ROWS
-    src_chw = _pad_hw(jnp.transpose(src.astype(jnp.float32), (0, 3, 1, 2)), Hp, Wp, H, W)
+    srcp = _pad_hw(src_chw.astype(jnp.float32), Hp, Wp, H, W)
     up = _pad_hw(jnp.clip(u, 0.0, W - 1), Hp, Wp, H, W)
     n_back = -(-dmax // LANE)
     kernel = functools.partial(_stereo_fwd_kernel, n_back=n_back)
@@ -216,29 +216,35 @@ def _stereo_sample_impl(src, u, dmax):
             (None, C, TILE_ROWS, Wp), lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, C, Hp, Wp), jnp.float32),
-    )(src_chw, up)
-    return jnp.transpose(out[:, :, :H, :W], (0, 2, 3, 1)).astype(src.dtype)
+    )(srcp, up)
+    return out[:, :, :H, :W]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _stereo_sample(src, u, dmax):
-    return _stereo_sample_impl(src, u, dmax)
+def _stereo_sample_chw(src_chw, u, dmax):
+    """Kernel-layout stereo sample: (B,C,H,W) f32 in and out.
+
+    The custom-VJP boundary sits HERE (not at the NHWC wrapper) so
+    callers that keep the loss region in the kernel's CHW layout pay
+    zero layout conversions in either direction (program hygiene; the
+    measured end-to-end step is unchanged — see compute_losses)."""
+    return _stereo_sample_chw_impl(src_chw, u, dmax)
 
 
-def _stereo_sample_fwd(src, u, dmax):
-    return _stereo_sample_impl(src, u, dmax), (src, u)
+def _stereo_sample_chw_fwd(src_chw, u, dmax):
+    return _stereo_sample_chw_impl(src_chw, u, dmax), (src_chw, u)
 
 
-def _stereo_sample_bwd(dmax, res, g):
-    src, u = res
-    B, H, W, C = src.shape
+def _stereo_sample_chw_bwd(dmax, res, g):
+    src_chw, u = res
+    B, C, H, W = src_chw.shape
     Wp = -(-W // LANE) * LANE
     Hp = -(-H // TILE_ROWS) * TILE_ROWS
     n_back = -(-dmax // LANE)
     # g arrives masked by the loss; pad region cotangent is zero.
-    g_chw = _pad_hw(jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2)), Hp, Wp, H, W)
+    g_chw = _pad_hw(g.astype(jnp.float32), Hp, Wp, H, W)
     up = _pad_hw(jnp.clip(u, 0.0, W - 1), Hp, Wp, H, W)
-    src_chw = _pad_hw(jnp.transpose(src.astype(jnp.float32), (0, 3, 1, 2)), Hp, Wp, H, W)
+    srcp = _pad_hw(src_chw.astype(jnp.float32), Hp, Wp, H, W)
 
     d_u = _pallas_call(
         functools.partial(_stereo_bwd_u_kernel, n_back=n_back),
@@ -252,7 +258,7 @@ def _stereo_sample_bwd(dmax, res, g):
             (None, TILE_ROWS, Wp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
-    )(src_chw, g_chw, up)[:, :H, :W]
+    )(srcp, g_chw, up)[:, :H, :W]
 
     d_src = _pallas_call(
         functools.partial(_stereo_bwd_src_kernel, dmax=dmax),
@@ -265,12 +271,21 @@ def _stereo_sample_bwd(dmax, res, g):
             (None, C, TILE_ROWS, Wp), lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, C, Hp, Wp), jnp.float32),
-    )(g_chw, up)
-    d_src = jnp.transpose(d_src[:, :, :H, :W], (0, 2, 3, 1)).astype(src.dtype)
-    return d_src, d_u
+    )(g_chw, up)[:, :, :H, :W]
+    return d_src.astype(src_chw.dtype), d_u
 
 
-_stereo_sample.defvjp(_stereo_sample_fwd, _stereo_sample_bwd)
+_stereo_sample_chw.defvjp(_stereo_sample_chw_fwd, _stereo_sample_chw_bwd)
+
+
+def _stereo_sample(src, u, dmax):
+    """NHWC convenience wrapper: the layout transposes live OUTSIDE the
+    custom-VJP core, so JAX AD transposes the cotangent automatically and
+    CHW-layout callers never pay them."""
+    out = _stereo_sample_chw(
+        jnp.transpose(src.astype(jnp.float32), (0, 3, 1, 2)), u, dmax
+    )
+    return jnp.transpose(out, (0, 2, 3, 1)).astype(src.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -461,12 +476,12 @@ def _gen_specs(B, C, Hp, Wp, pad_v):
     return srow_specs, tile_spec, ctile_spec
 
 
-def _gen_sample_impl(src, u, v, pad_v, emit_grad_aux=False):
-    B, H, W, C = src.shape
+def _gen_sample_chw_impl(src_chw, u, v, pad_v, emit_grad_aux=False):
+    B, C, H, W = src_chw.shape
     Wp = -(-W // LANE) * LANE
     Hp = -(-H // TILE_ROWS) * TILE_ROWS
     rv = 2 * pad_v + TILE_ROWS
-    src_chw = _pad_hw(jnp.transpose(src.astype(jnp.float32), (0, 3, 1, 2)), Hp, Wp, H, W)
+    srcp = _pad_hw(src_chw.astype(jnp.float32), Hp, Wp, H, W)
     up = _pad_hw(jnp.clip(u, 0.0, W - 1), Hp, Wp, H, W, mode="edge")
     vp = _pad_hw(jnp.clip(v, 0.0, H - 1), Hp, Wp, H, W, mode="edge")
     srow_specs, tile_spec, ctile_spec = _gen_specs(B, C, Hp, Wp, pad_v)
@@ -484,49 +499,57 @@ def _gen_sample_impl(src, u, v, pad_v, emit_grad_aux=False):
         in_specs=[*srow_specs, tile_spec, tile_spec],
         out_specs=tuple([ctile_spec] * n_out) if emit_grad_aux else ctile_spec,
         out_shape=tuple([ctile_shape] * n_out) if emit_grad_aux else ctile_shape,
-    )(*([src_chw] * len(srow_specs)), up, vp)
+    )(*([srcp] * len(srow_specs)), up, vp)
     if emit_grad_aux:
         out, s_aux, d_aux = outs
-        warped = jnp.transpose(out[:, :, :H, :W], (0, 2, 3, 1)).astype(src.dtype)
         # S/D stay in padded CHW kernel layout: the backward contraction
-        # consumes them there (one transpose of g, no transposes of S/D).
-        return warped, s_aux, d_aux
-    return jnp.transpose(outs[:, :, :H, :W], (0, 2, 3, 1)).astype(src.dtype)
+        # consumes them there (no transposes anywhere on the CHW path).
+        return out[:, :, :H, :W], s_aux, d_aux
+    return outs[:, :, :H, :W]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _gen_sample(src, u, v, pad_v):
-    return _gen_sample_impl(src, u, v, pad_v)
+def _gen_sample_chw(src_chw, u, v, pad_v):
+    """Kernel-layout general sample: (B,C,H,W) f32 in and out. The
+    custom-VJP boundary sits here so CHW-layout callers pay no layout
+    conversions (see _stereo_sample_chw)."""
+    return _gen_sample_chw_impl(src_chw, u, v, pad_v)
 
 
-def _gen_sample_fwd(src, u, v, pad_v):
-    warped, s_aux, d_aux = _gen_sample_impl(
-        src, u, v, pad_v, emit_grad_aux=True
+def _gen_sample_chw_fwd(src_chw, u, v, pad_v):
+    warped, s_aux, d_aux = _gen_sample_chw_impl(
+        src_chw, u, v, pad_v, emit_grad_aux=True
     )
     # src rides along for shape/dtype only (zeros_like cotangent); it is
     # the frozen source image/feature map, alive in the loss graph anyway.
-    return warped, (src, s_aux, d_aux)
+    return warped, (src_chw, s_aux, d_aux)
 
 
-def _gen_sample_bwd(pad_v, res, g):
+def _gen_sample_chw_bwd(pad_v, res, g):
     """Pure-XLA backward from the forward's accumulated factors:
     d_u = sum_c g[c] * S[c], d_v = sum_c g[c] * D[c] — a fused
     elementwise-multiply-reduce, no second gather kernel (see
     _gen_fwd_kernel's emit_grad_aux note for the trace numbers)."""
-    src, s_aux, d_aux = res
-    B, H, W, C = src.shape
-    # g: (B, H, W, C) -> padded CHW to match the kernel-layout residuals.
+    src_chw, s_aux, d_aux = res
+    B, C, H, W = src_chw.shape
+    # g: (B, C, H, W) -> padded to match the kernel-layout residuals.
     Hp, Wp = s_aux.shape[2], s_aux.shape[3]
-    g_chw = _pad_hw(
-        jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2)), Hp, Wp, H, W
-    )
+    g_chw = _pad_hw(g.astype(jnp.float32), Hp, Wp, H, W)
     d_u = jnp.sum(g_chw * s_aux, axis=1)[:, :H, :W]
     d_v = jnp.sum(g_chw * d_aux, axis=1)[:, :H, :W]
     # Frozen source by contract: no scatter-shaped d_src is computed.
-    return jnp.zeros_like(src), d_u, d_v
+    return jnp.zeros_like(src_chw), d_u, d_v
 
 
-_gen_sample.defvjp(_gen_sample_fwd, _gen_sample_bwd)
+_gen_sample_chw.defvjp(_gen_sample_chw_fwd, _gen_sample_chw_bwd)
+
+
+def _gen_sample(src, u, v, pad_v):
+    """NHWC convenience wrapper around the CHW custom-VJP core."""
+    out = _gen_sample_chw(
+        jnp.transpose(src.astype(jnp.float32), (0, 3, 1, 2)), u, v, pad_v
+    )
+    return jnp.transpose(out, (0, 2, 3, 1)).astype(src.dtype)
 
 
 def window_mask(u, v, H: int, W: int, pad_v: int):
@@ -549,6 +572,25 @@ def window_mask(u, v, H: int, W: int, pad_v: int):
     return (v0 >= s) & (v0 + 1 <= s + rv - 1) & (jnp.abs(u - cols) <= LANE - 1)
 
 
+def _gen_warp_prep(depth, T, K, H, W, pad_v):
+    """Shared coordinate + validity math for the general warp (both
+    layouts): returns (u, v, valid)."""
+    if pad_v <= 0 or pad_v % TILE_ROWS:
+        raise ValueError(f"pad_v must be a positive multiple of {TILE_ROWS}, got {pad_v}")
+    Hp = -(-H // TILE_ROWS) * TILE_ROWS
+    if Hp < 2 * pad_v + TILE_ROWS:
+        raise ValueError(
+            f"padded height {Hp} < window {2 * pad_v + TILE_ROWS}; reduce pad_v"
+        )
+    coords, front = ref_warp.warp_coords(depth, T, K)
+    u, v = coords[..., 0], coords[..., 1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    in_bounds = (u0 >= 0.0) & (u0 + 1.0 <= W - 1) & (v0 >= 0.0) & (v0 + 1.0 <= H - 1)
+    valid = in_bounds & front & window_mask(u, v, H, W, pad_v)
+    return u, v, valid
+
+
 def general_warp_frozen_src(src, depth, T, K, pad_v: int = GEN_PAD_V):
     """General inverse warp with a FROZEN (non-differentiated) source.
 
@@ -564,21 +606,21 @@ def general_warp_frozen_src(src, depth, T, K, pad_v: int = GEN_PAD_V):
     at KITTI-scale motion up to 1.6 m/frame with the default pad).
     """
     B, H, W, C = src.shape
-    Hp = -(-H // TILE_ROWS) * TILE_ROWS
-    if pad_v <= 0 or pad_v % TILE_ROWS:
-        raise ValueError(f"pad_v must be a positive multiple of {TILE_ROWS}, got {pad_v}")
-    if Hp < 2 * pad_v + TILE_ROWS:
-        raise ValueError(
-            f"padded height {Hp} < window {2 * pad_v + TILE_ROWS}; reduce pad_v"
-        )
-    src = jax.lax.stop_gradient(src)
-    coords, front = ref_warp.warp_coords(depth, T, K)
-    u, v = coords[..., 0], coords[..., 1]
-    u0 = jnp.floor(u)
-    v0 = jnp.floor(v)
-    in_bounds = (u0 >= 0.0) & (u0 + 1.0 <= W - 1) & (v0 >= 0.0) & (v0 + 1.0 <= H - 1)
-    valid = in_bounds & front & window_mask(u, v, H, W, pad_v)
-    warped = _gen_sample(src, u, v, pad_v)
+    u, v, valid = _gen_warp_prep(depth, T, K, H, W, pad_v)
+    warped = _gen_sample(jax.lax.stop_gradient(src), u, v, pad_v)
+    return warped, valid
+
+
+def general_warp_frozen_src_chw(src_chw, depth, T, K, pad_v: int = GEN_PAD_V):
+    """``general_warp_frozen_src`` in the kernel's native (B,C,H,W)
+    layout: src and the warped result are CHW f32, so a CHW loss region
+    pays zero layout conversions around the custom-call (measured
+    end-to-end step time is unchanged — XLA already hid them — see the
+    compute_losses note; the CHW surface is kept as the kernel's native
+    API). ``valid`` stays (B,H,W) as in the NHWC API."""
+    B, C, H, W = src_chw.shape
+    u, v, valid = _gen_warp_prep(depth, T, K, H, W, pad_v)
+    warped = _gen_sample_chw(jax.lax.stop_gradient(src_chw), u, v, pad_v)
     return warped, valid
 
 
@@ -616,6 +658,21 @@ def stereo_warp(
     disparity, u = stereo_disparity_u(depth, fx_baseline, W)
     valid = stereo_valid_mask(depth, disparity, u, H, W, dmax)
     warped = _stereo_sample(src, u, dmax)
+    return warped, valid
+
+
+def stereo_warp_chw(
+    src_chw: jax.Array, depth: jax.Array, fx_baseline, dmax: int = 128
+):
+    """``stereo_warp`` in the kernel's native (B,C,H,W) layout (same
+    coordinate/mask semantics; see ``general_warp_frozen_src_chw`` for
+    why the CHW surface exists). ``valid`` stays (B,H,W)."""
+    B, C, H, W = src_chw.shape
+    if depth.ndim == 4:
+        depth = depth[..., 0]
+    disparity, u = stereo_disparity_u(depth, fx_baseline, W)
+    valid = stereo_valid_mask(depth, disparity, u, H, W, dmax)
+    warped = _stereo_sample_chw(src_chw.astype(jnp.float32), u, dmax)
     return warped, valid
 
 

@@ -41,8 +41,8 @@ from depthvo_tpu.losses import (
     photometric_loss,
     smoothness_loss,
 )
-from depthvo_tpu.losses.photometric import masked_l1
-from depthvo_tpu.models.layers import resize_bilinear
+from depthvo_tpu.losses.photometric import masked_l1_chw, photometric_loss_chw
+from depthvo_tpu.models.layers import resize_bilinear, resize_bilinear_chw
 from depthvo_tpu.parallel import mesh as pmesh
 from depthvo_tpu.utils.images import to_unit
 from depthvo_tpu.train.state import TrainState, build_models, create_state, make_optimizer
@@ -110,6 +110,23 @@ def compute_losses(
         metrics["twist_norm"] = jnp.mean(jnp.linalg.norm(twist, axis=-1))
 
     # --- multi-scale photometric + smoothness ---
+    # The photometric region runs in the warp kernels' native CHW layout:
+    # each input image is transposed ONCE at full resolution and the
+    # pyramid / warps / losses stay (B, C, H, W) throughout, so XLA
+    # inserts no per-warp layout conversions around the custom-calls.
+    # Measured effect (v5e, config 4, 2026-08-18): step time unchanged
+    # (28.3 ms either way) — XLA was already hiding those transposes —
+    # so this layout is kept for program hygiene (fewer layout ops in
+    # the HLO, custom-VJP boundary in the kernel's own layout), not as
+    # a throughput claim; see PERF.md. The conv towers above stay NHWC
+    # (their fast layout); only this boundary converts.
+    def to_chw(x):
+        return jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
+
+    image_t_chw = to_chw(image_t)
+    image_r_chw = to_chw(batch["image_r"]) if config.use_stereo else None
+    image_s_chw = to_chw(batch["image_s"]) if config.use_temporal else None
+
     n_scales = len(disps)
     stereo_total = jnp.zeros((), jnp.float32)
     temporal_total = jnp.zeros((), jnp.float32)
@@ -117,13 +134,17 @@ def compute_losses(
     for i, disp in enumerate(disps):  # coarsest -> finest
         h, w = disp.shape[1:3]
         Ks = scale_intrinsics(K, w / W, h / H)
-        img_t = image_t if (h, w) == (H, W) else resize_bilinear(image_t, h, w)
+        img_t = (
+            image_t_chw
+            if (h, w) == (H, W)
+            else resize_bilinear_chw(image_t_chw, h, w)
+        )
         depth = 1.0 / disp[..., 0]
         if config.use_stereo:
             img_r = (
-                batch["image_r"]
+                image_r_chw
                 if (h, w) == (H, W)
-                else resize_bilinear(batch["image_r"], h, w)
+                else resize_bilinear_chw(image_r_chw, h, w)
             )
             # Rectified-stereo warp: epipolar-horizontal specialization
             # (Pallas kernel on TPU) — same math as inverse_warp with
@@ -131,28 +152,29 @@ def compute_losses(
             # from the config per scale (VERDICT r2 item 6), never a
             # hardcoded constant.
             fxb = Ks[..., 0, 0] * baseline
-            warped, valid = ops.stereo_warp(
+            warped, valid = ops.stereo_warp_chw(
                 img_r, depth, fxb, dmax=config_base.stereo_dmax(config, w)
             )
-            stereo_total += photometric_loss(
+            stereo_total += photometric_loss_chw(
                 warped, img_t, valid, config.ssim_weight
             )
         if config.use_temporal and not ((h, w) == (H, W) and config.use_feature):
             img_s = (
-                batch["image_s"]
+                image_s_chw
                 if (h, w) == (H, W)
-                else resize_bilinear(batch["image_s"], h, w)
+                else resize_bilinear_chw(image_s_chw, h, w)
             )
             # The source frame is constant data: the frozen-src warp's
             # backward is gather-only (Pallas kernel on TPU).
-            warped, valid = ops.frozen_warp(
+            warped, valid = ops.frozen_warp_chw(
                 img_s, depth, T_ts, Ks, pad_v=config.warp_pad_v
             )
-            temporal_total += photometric_loss(
+            temporal_total += photometric_loss_chw(
                 warped, img_t, valid, config.ssim_weight
             )
         smooth_total += smoothness_loss(
-            disp, img_t, edge_aware=config.edge_aware_smoothness
+            disp, img_t, edge_aware=config.edge_aware_smoothness,
+            image_layout="chw",
         ) / (2.0**(n_scales - 1 - i))
 
     # --- finest-scale temporal + feature reconstruction, fused warp ---
@@ -170,21 +192,25 @@ def compute_losses(
             {"params": feat_params}, batch["image_s"], train=False
         )
         depth_full = 1.0 / disps[-1][..., 0]
-        payload = jnp.concatenate(
-            [batch["image_s"], feat_s.astype(batch["image_s"].dtype)], axis=-1
-        )
+        feat_t_chw = to_chw(feat_t)
+        payload = jnp.concatenate([image_s_chw, to_chw(feat_s)], axis=1)
         if config.train_feat:
-            # feat_s carries gradients -> needs the scatter-capable path.
-            warped, valid = geo_warp.inverse_warp(payload, depth_full, T_ts, K)
+            # feat_s carries gradients -> needs the scatter-capable path
+            # (NHWC XLA gather/scatter; transposed into the CHW loss
+            # region afterwards — the non-default research path).
+            warped_hwc, valid = geo_warp.inverse_warp(
+                jnp.transpose(payload, (0, 2, 3, 1)), depth_full, T_ts, K
+            )
+            warped = jnp.transpose(warped_hwc, (0, 3, 1, 2))
         else:
-            warped, valid = ops.frozen_warp(
+            warped, valid = ops.frozen_warp_chw(
                 payload, depth_full, T_ts, K, pad_v=config.warp_pad_v
             )
-        temporal_total += photometric_loss(
-            warped[..., :3], image_t, valid, config.ssim_weight
+        temporal_total += photometric_loss_chw(
+            warped[:, :3], image_t_chw, valid, config.ssim_weight
         )
-        feat_loss = config.feature_weight * masked_l1(
-            warped[..., 3:].astype(jnp.float32), feat_t, valid
+        feat_loss = config.feature_weight * masked_l1_chw(
+            warped[:, 3:], feat_t_chw, valid
         )
     elif config.use_feature:
         raise ValueError(

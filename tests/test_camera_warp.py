@@ -219,3 +219,41 @@ class TestInverseWarp:
         assert bool(jnp.all(jnp.isfinite(gd))) and bool(jnp.all(jnp.isfinite(gx)))
         assert float(jnp.max(jnp.abs(gd))) > 0
         assert float(jnp.max(jnp.abs(gx))) > 0
+
+
+class TestOpsChwDispatchers:
+    """ops.frozen_warp_chw / ops.stereo_warp_chw jnp fallbacks (the
+    CPU path) against their NHWC counterparts on transposed inputs."""
+
+    def test_frozen_warp_chw_fallback(self, rng):
+        from depthvo_tpu import ops
+
+        img = _image(rng)
+        depth = jnp.asarray(
+            np.random.default_rng(3).uniform(4.0, 20.0, (1, H, W)), jnp.float32
+        )
+        T = se3.exp(jnp.array([[0.02, 0.0, -0.2, 0.001, 0.0, 0.0]]))
+        w_n, v_n = ops.frozen_warp(img, depth, T, K, use_pallas=False)
+        w_c, v_c = ops.frozen_warp_chw(
+            jnp.transpose(img, (0, 3, 1, 2)), depth, T, K, use_pallas=False
+        )
+        assert (np.asarray(v_n) == np.asarray(v_c)).all()
+        np.testing.assert_array_equal(
+            np.asarray(w_n), np.transpose(np.asarray(w_c), (0, 2, 3, 1))
+        )
+
+    def test_stereo_warp_chw_fallback(self, rng):
+        from depthvo_tpu import ops
+
+        img = _image(rng)
+        depth = jnp.asarray(
+            np.random.default_rng(4).uniform(4.0, 20.0, (1, H, W)), jnp.float32
+        )
+        w_n, v_n = ops.stereo_warp(img, depth, 40.0, use_pallas=False)
+        w_c, v_c = ops.stereo_warp_chw(
+            jnp.transpose(img, (0, 3, 1, 2)), depth, 40.0, use_pallas=False
+        )
+        assert (np.asarray(v_n) == np.asarray(v_c)).all()
+        np.testing.assert_array_equal(
+            np.asarray(w_n), np.transpose(np.asarray(w_c), (0, 2, 3, 1))
+        )

@@ -66,3 +66,71 @@ def test_masked_l1_normalizes_by_valid_count(case):
     np.testing.assert_allclose(
         float(masked_l1(w2, t2, v2)), float(full), rtol=1e-6
     )
+
+
+class TestChwVariants:
+    """The training loss graph keeps its photometric region in the warp
+    kernels' (B, C, H, W) layout (train/loop.py::compute_losses); these
+    pin that the CHW loss variants are numerically the SAME functions as
+    the NHWC ones on transposed inputs."""
+
+    @staticmethod
+    def _chw(x):
+        return jnp.transpose(x, (0, 3, 1, 2))
+
+    def test_masked_l1_chw_matches_nhwc(self, case):
+        from depthvo_tpu.losses.photometric import masked_l1_chw
+
+        warped, target, valid = case
+        a = float(masked_l1(warped, target, valid))
+        b = float(masked_l1_chw(self._chw(warped), self._chw(target), valid))
+        assert a == pytest.approx(b, rel=1e-6)
+
+    def test_ssim_chw_matches_nhwc(self, case):
+        from depthvo_tpu.losses.photometric import ssim_chw
+
+        warped, target, _ = case
+        a = np.asarray(ssim(warped, target))
+        b = np.asarray(ssim_chw(self._chw(warped), self._chw(target)))
+        np.testing.assert_allclose(a, np.transpose(b, (0, 2, 3, 1)), rtol=2e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("w", [0.0, 0.85])
+    def test_photometric_chw_matches_nhwc(self, case, w):
+        from depthvo_tpu.losses.photometric import photometric_loss_chw
+
+        warped, target, valid = case
+        a = float(photometric_loss(warped, target, valid, ssim_weight=w))
+        b = float(
+            photometric_loss_chw(
+                self._chw(warped), self._chw(target), valid, ssim_weight=w
+            )
+        )
+        assert a == pytest.approx(b, rel=1e-5)
+
+    @pytest.mark.parametrize("w", [0.0, 0.85])
+    def test_photometric_chw_invalid_pixels_zero_cotangent(self, case, w):
+        from depthvo_tpu.losses.photometric import photometric_loss_chw
+
+        warped, target, valid = case
+        g = jax.grad(
+            lambda x: photometric_loss_chw(
+                x, self._chw(target), valid, ssim_weight=w
+            )
+        )(self._chw(warped))
+        inv = ~np.asarray(valid)[:, None]
+        inv = np.broadcast_to(inv, g.shape)
+        assert np.all(np.asarray(g)[inv] == 0.0)
+
+    def test_smoothness_chw_matches_nhwc(self):
+        from depthvo_tpu.losses.smoothness import smoothness_loss
+
+        rng = np.random.default_rng(1)
+        disp = jnp.asarray(rng.uniform(0.01, 0.5, (2, 8, 12, 1)), jnp.float32)
+        img = jnp.asarray(rng.uniform(0, 1, (2, 8, 12, 3)), jnp.float32)
+        a = float(smoothness_loss(disp, img, edge_aware=True))
+        b = float(
+            smoothness_loss(
+                disp, self._chw(img), edge_aware=True, image_layout="chw"
+            )
+        )
+        assert a == pytest.approx(b, rel=1e-6)

@@ -184,3 +184,81 @@ class TestGeneralKernelInterpreted:
 
         g = jax.grad(loss)(src)
         assert float(jnp.abs(g).max()) == 0.0
+
+
+class TestChwEntryPointsInterpreted:
+    """The CHW kernel surfaces (the layout the train loss graph uses —
+    see ops.frozen_warp_chw) against the NHWC ones: same kernels, the
+    transposes live OUTSIDE the custom-VJP cores."""
+
+    K = camera.intrinsics_matrix(fx=0.58 * W, fy=1.0 * GH, cx=W / 2, cy=GH / 2)
+    TWIST = jnp.asarray([[0.02, -0.01, -0.3, 0.002, -0.003, 0.001]], jnp.float32)
+
+    def test_stereo_chw_matches_nhwc(self, rng):
+        src = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+        depth = jnp.asarray(rng.uniform(4.0, 40.0, (B, H, W)), jnp.float32)
+        w_n, v_n = warp_pallas.stereo_warp(src, depth, FXB)
+        w_c, v_c = warp_pallas.stereo_warp_chw(
+            jnp.transpose(src, (0, 3, 1, 2)), depth, FXB
+        )
+        assert (np.asarray(v_n) == np.asarray(v_c)).all()
+        np.testing.assert_array_equal(
+            np.asarray(w_n), np.transpose(np.asarray(w_c), (0, 2, 3, 1))
+        )
+
+    def test_stereo_chw_grads_match_nhwc(self, rng):
+        src = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+        depth = jnp.asarray(rng.uniform(4.0, 40.0, (B, H, W)), jnp.float32)
+        _, v = warp_pallas.stereo_warp(src, depth, FXB)
+
+        def loss_n(d, s):
+            w, _ = warp_pallas.stereo_warp(s, d, FXB)
+            return jnp.sum(jnp.where(v[..., None], w, 0.0) ** 2)
+
+        def loss_c(d, s):
+            w, _ = warp_pallas.stereo_warp_chw(
+                jnp.transpose(s, (0, 3, 1, 2)), d, FXB
+            )
+            return jnp.sum(jnp.where(v[:, None], w, 0.0) ** 2)
+
+        gn_d, gn_s = jax.grad(loss_n, (0, 1))(depth, src)
+        gc_d, gc_s = jax.grad(loss_c, (0, 1))(depth, src)
+        np.testing.assert_allclose(np.asarray(gn_d), np.asarray(gc_d), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gn_s), np.asarray(gc_s), atol=1e-6)
+
+    def test_general_chw_matches_nhwc(self, rng):
+        src = jnp.asarray(rng.normal(size=(B, GH, W, C)), jnp.float32)
+        depth = jnp.asarray(rng.uniform(4.0, 40.0, (B, GH, W)), jnp.float32)
+        T = se3.exp(self.TWIST)
+        w_n, v_n = warp_pallas.general_warp_frozen_src(src, depth, T, self.K, pad_v=8)
+        w_c, v_c = warp_pallas.general_warp_frozen_src_chw(
+            jnp.transpose(src, (0, 3, 1, 2)), depth, T, self.K, pad_v=8
+        )
+        assert (np.asarray(v_n) == np.asarray(v_c)).all()
+        np.testing.assert_array_equal(
+            np.asarray(w_n), np.transpose(np.asarray(w_c), (0, 2, 3, 1))
+        )
+
+    def test_general_chw_grads_match_nhwc(self, rng):
+        src = jnp.asarray(rng.normal(size=(B, GH, W, C)), jnp.float32)
+        depth = jnp.asarray(rng.uniform(4.0, 40.0, (B, GH, W)), jnp.float32)
+        _, v = warp_pallas.general_warp_frozen_src(
+            src, depth, se3.exp(self.TWIST), self.K, pad_v=8
+        )
+
+        def loss_n(d, tw):
+            w, _ = warp_pallas.general_warp_frozen_src(
+                src, d, se3.exp(tw), self.K, pad_v=8
+            )
+            return jnp.sum(jnp.where(v[..., None], w, 0.0) ** 2)
+
+        def loss_c(d, tw):
+            w, _ = warp_pallas.general_warp_frozen_src_chw(
+                jnp.transpose(src, (0, 3, 1, 2)), d, se3.exp(tw), self.K, pad_v=8
+            )
+            return jnp.sum(jnp.where(v[:, None], w, 0.0) ** 2)
+
+        gn_d, gn_t = jax.grad(loss_n, (0, 1))(depth, self.TWIST)
+        gc_d, gc_t = jax.grad(loss_c, (0, 1))(depth, self.TWIST)
+        np.testing.assert_allclose(np.asarray(gn_d), np.asarray(gc_d), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gn_t), np.asarray(gc_t), atol=1e-6)

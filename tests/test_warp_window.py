@@ -107,7 +107,10 @@ class TestFrozenWarpPadPlumbing:
             raise AssertionError("pad_v=12 should be rejected")
 
     def test_config_plumbs_pad_v(self):
-        """compute_losses forwards config.warp_pad_v to frozen_warp."""
+        """compute_losses forwards config.warp_pad_v to the frozen warp.
+
+        The loss graph runs the photometric region in the kernels' CHW
+        layout, so the call under test is ``ops.frozen_warp_chw``."""
         import dataclasses
         from unittest import mock
 
@@ -122,13 +125,13 @@ class TestFrozenWarpPadPlumbing:
             jnp.asarray, SyntheticScenes(cfg, seed=0, num_scenes=1).batch(2)
         )
         seen = []
-        real = ops.frozen_warp
+        real = ops.frozen_warp_chw
 
         def spy(src, depth, T, k, use_pallas=None, pad_v=None):
             seen.append(pad_v)
             return real(src, depth, T, k, use_pallas=False, pad_v=pad_v)
 
-        with mock.patch.object(ops, "frozen_warp", side_effect=spy):
+        with mock.patch.object(ops, "frozen_warp_chw", side_effect=spy):
             train_loop.compute_losses(
                 cfg, build_models(cfg), state.params, state.batch_stats,
                 batch, train=False,
