@@ -99,16 +99,38 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def num_processes(mesh: Mesh) -> int:
+    """How many OS processes own this mesh's devices (1 single-process)."""
+    return len({d.process_index for d in mesh.devices.flat})
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a host batch (pytree of np/jnp arrays) onto the mesh, batch
-    axis sharded. Scalars and rank-0 leaves are replicated."""
+    axis sharded. Scalars and rank-0 leaves are replicated.
+
+    Multi-process: the batch argument is this process's LOCAL slice
+    (``parallel.distributed.local_batches``), and the global array is
+    assembled via ``jax.make_array_from_process_local_data`` — each host
+    only ever touches the rows its own chips consume. Requires the mesh's
+    batch-axis device order to be process-contiguous, which ``make_mesh``
+    over ``jax.devices()`` (process-major) guarantees."""
     data = batch_sharding(mesh)
     repl = replicated(mesh)
+    nproc = num_processes(mesh)
+    if nproc <= 1:
 
-    def put(x):
-        x = np.asarray(x)
-        sh = data if x.ndim >= 1 and x.shape[0] % mesh.size == 0 else repl
-        return jax.device_put(x, sh)
+        def put(x):
+            x = np.asarray(x)
+            sh = data if x.ndim >= 1 and x.shape[0] % mesh.size == 0 else repl
+            return jax.device_put(x, sh)
+
+    else:
+        local = mesh.size // nproc
+
+        def put(x):
+            x = np.asarray(x)
+            sh = data if x.ndim >= 1 and x.shape[0] % local == 0 else repl
+            return jax.make_array_from_process_local_data(sh, x)
 
     return jax.tree.map(put, batch)
 
@@ -117,13 +139,26 @@ def shard_stacked_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a [K, batch, ...] stacked super-batch (scan mode) onto the
     mesh with the PER-STEP batch axis (axis 1) sharded over ``data`` —
     sharding axis 0 would split the scan axis instead and silently lose
-    data parallelism. Leaves without a shardable axis 1 are replicated."""
+    data parallelism. Leaves without a shardable axis 1 are replicated.
+    Multi-process: same process-local assembly as :func:`shard_batch`
+    (axis 1 carries this process's slice; axis 0, the scan axis, is
+    identical everywhere)."""
     data = NamedSharding(mesh, P(None, _all_axes(mesh)))
     repl = replicated(mesh)
+    nproc = num_processes(mesh)
+    if nproc <= 1:
 
-    def put(x):
-        x = np.asarray(x)
-        sh = data if x.ndim >= 2 and x.shape[1] % mesh.size == 0 else repl
-        return jax.device_put(x, sh)
+        def put(x):
+            x = np.asarray(x)
+            sh = data if x.ndim >= 2 and x.shape[1] % mesh.size == 0 else repl
+            return jax.device_put(x, sh)
+
+    else:
+        local = mesh.size // nproc
+
+        def put(x):
+            x = np.asarray(x)
+            sh = data if x.ndim >= 2 and x.shape[1] % local == 0 else repl
+            return jax.make_array_from_process_local_data(sh, x)
 
     return jax.tree.map(put, batch)
