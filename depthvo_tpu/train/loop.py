@@ -508,13 +508,25 @@ def fit(
         state = ckpt_io.maybe_restore(ckpt_mgr, state)
         # Persist the config so eval/infer can restore the exact model
         # (num_scales, fast_final_upsample, ...) without CLI re-specification.
-        config_io.save_json(config, os.path.join(checkpoint_dir, "config.json"))
+        # Multi-process: every process calls orbax save/restore (they
+        # coordinate internally), but the config.json write is a plain
+        # file — coordinator-only, so N processes don't race on it.
+        if jax.process_index() == 0:
+            config_io.save_json(
+                config, os.path.join(checkpoint_dir, "config.json")
+            )
 
     # Prefetch: a producer thread decodes + device_puts the next batches
     # while the current step runs (overlaps tunnel upload with compute).
     # In scan mode the producer stacks K batches into one [K, ...] super-
     # batch per dispatch, so host batch prep overlaps the K on-device
-    # steps instead of serializing between dispatches.
+    # steps instead of serializing between dispatches. The producer
+    # follows the SAME chunk schedule as the loop below (a short tail
+    # chunk of K' = num_steps - i batches), so ``--steps`` is exact:
+    # scan length is the stacked batch's leading dim, and the tail
+    # dispatch runs exactly the remaining optimizer steps (one extra
+    # compile for the K' program — paid once, only on non-divisible
+    # step counts).
     sharded_iter = None
     if prefetch > 0:
         from depthvo_tpu.data.pipeline import prefetch_to_device
@@ -525,9 +537,13 @@ def fit(
             )
         else:
 
-            def _stacked(it=data_iter, k=steps_per_call):
-                while True:
-                    yield stack_batches([next(it) for _ in range(k)])
+            def _stacked(it=data_iter, k=steps_per_call,
+                         start=int(state.step), total=num_steps):
+                j = start
+                while j < total:
+                    kk = min(k, total - j)
+                    yield stack_batches([next(it) for _ in range(kk)])
+                    j += kk
 
             sharded_iter = prefetch_to_device(
                 _stacked(), mesh, buffer_size=prefetch,
@@ -566,19 +582,20 @@ def fit(
                     break
             k = min(steps_per_call, num_steps - i)
             if steps_per_call > 1:
-                # One [K, ...] super-batch per dispatch. A short trailing call
-                # still runs K real optimizer steps (prefetched path: fresh
-                # data; fallback path: last batch repeated), matching
-                # num_steps only approximately on the tail.
+                # One [K, ...] super-batch per dispatch. The tail dispatch
+                # stacks only the K' = num_steps - i remaining batches, so
+                # ``--steps`` is exact like Caffe's max_iter: the scan
+                # length is the leading dim, the K' program compiles once,
+                # and no batch is ever repeated.
                 if sharded_iter is not None:
                     batch = next(sharded_iter)
                 else:
-                    batches = [next(data_iter) for _ in range(k)]
-                    while len(batches) < steps_per_call:
-                        batches.append(batches[-1])
-                    batch = pmesh.shard_stacked_batch(stack_batches(batches), mesh)
+                    batch = pmesh.shard_stacked_batch(
+                        stack_batches([next(data_iter) for _ in range(k)]),
+                        mesh,
+                    )
                 state, metrics = step_fn(state, batch)
-                i += steps_per_call
+                i += k
             else:
                 if sharded_iter is not None:
                     batch = next(sharded_iter)

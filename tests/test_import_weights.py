@@ -689,6 +689,57 @@ class TestTrainWeightsFlag:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_seats_permuted_file_via_name_map_with_audit(
+        self, tmp_path, capsys
+    ):
+        """VERDICT r3 item 5: `train --weights` must route through the
+        audited name-map derivation, not silent shape-order. A file with
+        the input-conv block moved to the END (a between-class
+        permutation a re-serialized release could produce) must seat
+        exactly, and the order-trusted audit must land in stdout."""
+        from depthvo_tpu.cli import _state_with_caffe_weights
+        from depthvo_tpu.configs import base as configs
+        from depthvo_tpu.io.export_weights import export_caffemodel
+        from depthvo_tpu.train.state import create_state
+
+        cfg = configs.tiny_test()
+        src = create_state(cfg, jax.random.PRNGKey(7))
+        raw = export_caffemodel(src.params["depth"], src.batch_stats, None)
+        parsed = caffemodel.parse_caffemodel(raw)
+        entries = [(n, l["type"], l["blobs"]) for n, l in parsed.items()]
+        # Locate the input conv (the only 3-in-channel kernel) and carry
+        # its BN/Scale companions along so the block stays contiguous.
+        start = next(
+            i for i, (_, _, blobs) in enumerate(entries)
+            if blobs and blobs[0].ndim == 4 and blobs[0].shape[1] == 3
+        )
+        end = start + 1
+        while end < len(entries) and entries[end][2][0].ndim == 1:
+            end += 1
+        permuted = entries[:start] + entries[end:] + entries[start:end]
+        assert permuted != entries
+        path = str(tmp_path / "permuted.caffemodel")
+        with open(path, "wb") as f:
+            f.write(encode_net(permuted))
+
+        st = _state_with_caffe_weights(cfg, [f"depth={path}"])
+        out = capsys.readouterr().out
+        assert "audited name map" in out
+        assert "order-trusted" in out
+        assert "falling back to shape-order" not in out
+        for (pa, a), (pb, b) in zip(
+            import_weights._flatten_with_path(src.params["depth"]),
+            import_weights._flatten_with_path(st.params["depth"]),
+        ):
+            assert pa == pb
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-6, err_msg=pa)
+        for (pa, a), (pb, b) in zip(
+            import_weights._flatten_with_path(src.batch_stats),
+            import_weights._flatten_with_path(st.batch_stats),
+        ):
+            assert pa == pb
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-6, err_msg=pa)
+
     def test_default_net_is_depth_and_bad_net_rejected(self, tmp_path):
         from depthvo_tpu.cli import _state_with_caffe_weights
         from depthvo_tpu.configs import base as configs

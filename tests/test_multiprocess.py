@@ -1,0 +1,116 @@
+"""Multi-process (multi-host) execution tests — VERDICT r3 item 1.
+
+Spawns REAL OS processes that join a jax.distributed cluster over the
+CPU backend (Gloo collectives) and run the production training path:
+``parallel.distributed.initialize`` -> per-process ``local_batches`` ->
+``fit`` over the global mesh -> multi-host orbax save/restore
+(tests/mp_worker.py). The headline assertion: the 2-process x 2-device
+loss trajectory matches the 1-process x 4-device trajectory on the same
+global data — same SPMD program, different process layout.
+
+These are subprocess tests: the parent's jax (8-device CPU from
+conftest) never touches the workers' clusters.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_cluster(nproc: int, local_devices: int, outdir: str,
+                 steps: int = 4, steps_per_call: int = 1,
+                 timeout: int = 1500) -> dict:
+    """Launch nproc workers, wait, return proc0's result record."""
+    os.makedirs(outdir, exist_ok=True)
+    port = _free_port()
+    env = dict(os.environ, PYTHONPATH=_REPO)
+    # The workers pick their backend via jax.config (see mp_worker.py);
+    # drop the axon trigger so a degraded TPU tunnel can't block them.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    # Share a persistent compile cache across workers/clusters: the CPU
+    # compiles of the tiny_test step dominate this test's wall clock.
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(outdir.rstrip("/")), "jaxcache"),
+    )
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(pid), str(nproc), str(port),
+             str(local_devices), outdir, str(steps), str(steps_per_call)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, (
+            f"worker {p.args[2]} failed (rc={p.returncode}):\n{out[-4000:]}"
+        )
+    with open(os.path.join(outdir, "proc0.json")) as f:
+        return json.load(f)
+
+
+def test_two_process_trajectory_matches_single_process(tmp_path):
+    """1 process x 4 devices == 2 processes x 2 devices: same global
+    batch, same SPMD program, so the optimizer trajectories must agree
+    (only all-reduce summation order differs -> f32 noise tolerance)."""
+    single = _run_cluster(1, 4, str(tmp_path / "single"))
+    double = _run_cluster(2, 2, str(tmp_path / "double"))
+
+    assert single["global_devices"] == double["global_devices"] == 4
+    assert double["process_count"] == 2
+    s = dict(single["losses"])
+    d = dict(double["losses"])
+    assert set(s) == set(d) and len(s) >= 2
+    # Step-0 losses are bit-identical (same global batch through the
+    # same program before any update); later steps drift only by f32
+    # all-reduce summation order (Gloo cross-process vs in-process),
+    # measured ~2e-4 rel by step 3 on the loss and ~3e-6 on the params
+    # fingerprint.
+    np.testing.assert_allclose(d[0], s[0], rtol=1e-6)
+    for step in sorted(s):
+        np.testing.assert_allclose(
+            d[step], s[step], rtol=1e-3,
+            err_msg=f"loss diverged at step {step}",
+        )
+    np.testing.assert_allclose(
+        double["params_fingerprint"], single["params_fingerprint"],
+        rtol=5e-5,
+    )
+
+
+def test_multiprocess_orbax_roundtrip_and_scan_mode(tmp_path):
+    """Multi-host orbax save/restore (asserted inside each worker) and
+    the scan-mode (steps_per_call>1) dispatch path under 2 processes,
+    including the exact-steps tail (5 steps at K=4 -> 4+1)."""
+    rec = _run_cluster(
+        2, 2, str(tmp_path / "scan"), steps=5, steps_per_call=4
+    )
+    assert rec["final_step"] == 5
+    np.testing.assert_allclose(
+        rec["restored_fingerprint"], rec["params_fingerprint"], rtol=0
+    )

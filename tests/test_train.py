@@ -291,6 +291,29 @@ def test_fit_with_steps_per_call(tmp_path):
     assert len(losses) >= 2 and np.isfinite(losses).all()
 
 
+@pytest.mark.parametrize("prefetch", [0, 2])
+def test_fit_scan_tail_exact_steps(prefetch):
+    """VERDICT r3 item 4: scan-mode ``--steps`` is exact, like Caffe's
+    ``max_iter``. steps=10 with steps_per_call=8 must perform exactly 10
+    optimizer updates (8 + a short K'=2 tail dispatch) and consume
+    exactly 10 fresh batches — no repeated-last-batch padding — on both
+    the prefetched and the unprefetched path."""
+    cfg = configs.tiny_test()
+    scenes = SyntheticScenes(cfg, seed=7, num_scenes=4)
+    consumed = [0]
+
+    def counting(it=scenes.iterator(cfg.batch_size, fixed=True)):
+        for b in it:
+            consumed[0] += 1
+            yield b
+
+    state = train_loop.fit(
+        cfg, counting(), 10, steps_per_call=8, prefetch=prefetch
+    )
+    assert int(state.step) == 10
+    assert consumed[0] == 10
+
+
 def test_fit_periodic_validation():
     """The Caffe solver test phase (test_interval/test_iter): fit runs
     eval-mode losses on held-out batches every eval_every steps and logs
