@@ -63,7 +63,20 @@ def depth_abs_rel(state, scenes, cfg, depth_quant: str = "off") -> float:
     return float(np.mean(np.abs(pred - gt) / gt))
 
 
-def run_arm(pretrained: bool, steps: int, pretrain_steps: int, seed: int) -> float:
+def run_arm(
+    pretrained: bool,
+    steps: int,
+    pretrain_steps: int,
+    seed: int,
+    use_feature: bool = True,
+    stress: dict | None = None,
+) -> float:
+    """Train one arm and return the depth abs-rel vs synthetic gt.
+
+    ``use_feature=False`` trains the temporal_stereo loss graph (no
+    feature reconstruction term). ``stress`` forwards the photometric-
+    ambiguity kwargs to SyntheticScenes (exposure_jitter/gamma_jitter/
+    repeat_texture) — VERDICT r3 item 2's test conditions."""
     import jax
 
     from depthvo_tpu import configs
@@ -72,8 +85,8 @@ def run_arm(pretrained: bool, steps: int, pretrain_steps: int, seed: int) -> flo
     from depthvo_tpu.train.feat_pretrain import pretrain_features
     from depthvo_tpu.train.state import create_state
 
-    cfg = configs.tiny_test(batch_size=4, seed=seed)
-    scenes = SyntheticScenes(cfg, seed=seed, num_scenes=4)
+    cfg = configs.tiny_test(batch_size=4, seed=seed, use_feature=use_feature)
+    scenes = SyntheticScenes(cfg, seed=seed, num_scenes=4, **(stress or {}))
     state = create_state(cfg, jax.random.PRNGKey(seed))
     if pretrained:
         feat_params = pretrain_features(
@@ -88,13 +101,50 @@ def run_arm(pretrained: bool, steps: int, pretrain_steps: int, seed: int) -> flo
     return depth_abs_rel(state, scenes, cfg)
 
 
+STRESS = dict(exposure_jitter=0.5, gamma_jitter=0.25, repeat_texture=True)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--pretrain-steps", type=int, default=300)
     ap.add_argument("--seeds", default="0,1")
+    ap.add_argument("--mode", default="pretrain",
+                    choices=["pretrain", "stress"],
+                    help="pretrain: random-frozen vs pretrained features "
+                         "(both full_feat). stress: feature loss ON "
+                         "(pretrained) vs OFF (temporal_stereo), each "
+                         "clean AND under photometric-ambiguity stress "
+                         f"({STRESS}) — the conditions the reference's "
+                         "feature loss was designed for")
     args = ap.parse_args(argv)
     seeds = [int(s) for s in args.seeds.split(",")]
+
+    if args.mode == "stress":
+        table = {}
+        for cond, stress in (("clean", None), ("stress", STRESS)):
+            feat = [run_arm(True, args.steps, args.pretrain_steps, s,
+                            use_feature=True, stress=stress) for s in seeds]
+            nofeat = [run_arm(False, args.steps, 0, s,
+                              use_feature=False, stress=stress)
+                      for s in seeds]
+            table[cond] = {
+                "full_feat_pretrained": [round(x, 4) for x in feat],
+                "temporal_stereo": [round(x, 4) for x in nofeat],
+                "mean_full_feat": round(float(np.mean(feat)), 4),
+                "mean_temporal_stereo": round(float(np.mean(nofeat)), 4),
+                "feature_loss_wins": bool(np.mean(feat) <= np.mean(nofeat)),
+            }
+        out = {
+            "metric": "feat_ab_stress_depth_abs_rel_synthetic",
+            **table,
+            "detail": {"steps": args.steps,
+                       "pretrain_steps": args.pretrain_steps,
+                       "seeds": seeds, "stress": STRESS},
+        }
+        print(json.dumps(out))
+        return 0
+
     rand = [run_arm(False, args.steps, args.pretrain_steps, s) for s in seeds]
     pre = [run_arm(True, args.steps, args.pretrain_steps, s) for s in seeds]
     out = {

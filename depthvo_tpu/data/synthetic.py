@@ -68,14 +68,44 @@ class SyntheticScenes:
         seed: int = 0,
         num_scenes: int = 8,
         u8: bool = False,
+        exposure_jitter: float = 0.0,
+        gamma_jitter: float = 0.0,
+        repeat_texture: bool = False,
     ):
         """``u8=True`` quantizes the rendered views to the uint8 grid
         (what camera data is anyway) so batches ship 4x fewer bytes to
-        the device; the train step normalizes on-device."""
+        the device; the train step normalizes on-device.
+
+        Photometric-ambiguity stressors (the conditions the reference's
+        feature-reconstruction loss exists for — its §1 motivation is
+        that pure photometric matching fails under brightness change and
+        repeated structure):
+
+        * ``exposure_jitter`` — the temporal source view is rendered
+          with a per-scene exposure gain of up to ±this many STOPS
+          (2**U(-e, e)), simulating auto-exposure drift between frames.
+          Stereo pairs stay matched (hardware-synchronized shutters).
+        * ``gamma_jitter`` — per-scene gamma perturbation
+          exp(U(-g, g)) on the same view (tone-curve drift).
+        * ``repeat_texture`` — the scene texture is a narrow tile
+          repeated horizontally, so photometric matching has multiple
+          near-equal minima along the epipolar direction; only a wider
+          receptive field (the feature loss) can disambiguate.
+
+        Used by benchmarks/feat_ab.py --stress (VERDICT r3 item 2).
+        """
         self.config = config
+        self.exposure_jitter = float(exposure_jitter)
+        self.gamma_jitter = float(gamma_jitter)
+        self.repeat_texture = bool(repeat_texture)
         mc = config.model
         self.h, self.w = mc.height, mc.width
         rng = np.random.default_rng(seed)
+        # Jitter draws come from their own stream so enabling stress
+        # leaves the scene geometry/texture draws bit-identical to the
+        # unstressed instance (feat_ab's clean-vs-stress arms then
+        # differ ONLY in the photometric nuisance).
+        self._stress_rng = np.random.default_rng(seed ^ 0x5DEECE66D)
         # KITTI-ish intrinsics scaled to (h, w).
         self.K = np.array(
             [
@@ -128,8 +158,32 @@ class SyntheticScenes:
         u, v = proj[..., 0] / z, proj[..., 1] / z
         return self._bilinear(tex, u, v)
 
+    def _photometric_jitter(
+        self, img: np.ndarray, rng: np.random.Generator
+    ) -> np.ndarray:
+        """Exposure (stops) + gamma drift on one view, in linear [0, 1]."""
+        y = (img + 1.0) * 0.5
+        if self.exposure_jitter:
+            y = y * 2.0 ** rng.uniform(-self.exposure_jitter,
+                                       self.exposure_jitter)
+        if self.gamma_jitter:
+            y = np.clip(y, 0.0, 1.0) ** np.exp(
+                rng.uniform(-self.gamma_jitter, self.gamma_jitter)
+            )
+        return (np.clip(y, 0.0, 1.0) * 2.0 - 1.0).astype(np.float32)
+
     def _make_scene(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:
-        tex = _smooth_texture(rng, self.h, self.w)
+        if self.repeat_texture:
+            # A narrow band-limited tile repeated across the image width:
+            # horizontal repeats put near-equal photometric minima along
+            # the stereo/temporal epipolar direction.
+            tile = _smooth_texture(rng, self.h, max(self.w // 4, 8))
+            reps = -(-self.w // tile.shape[1])
+            tex = np.ascontiguousarray(
+                np.tile(tile, (1, reps, 1))[:, : self.w]
+            )
+        else:
+            tex = _smooth_texture(rng, self.h, self.w)
         depth = _scene_depth(rng, self.h, self.w)
         b = self.config.stereo_baseline
         # Stereo: right cam at +b x. Temporal: forward motion + small yaw.
@@ -144,6 +198,10 @@ class SyntheticScenes:
         image_t = tex
         image_r = self._render(tex, depth, T_lr)
         image_s = self._render(tex, depth, T_ts)
+        if self.exposure_jitter or self.gamma_jitter:
+            # Temporal view only: stereo rigs share exposure, consecutive
+            # frames under auto-exposure do not (reference §1 motivation).
+            image_s = self._photometric_jitter(image_s, self._stress_rng)
         return {
             "image_t": image_t,
             "image_r": image_r,
