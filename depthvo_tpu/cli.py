@@ -492,6 +492,7 @@ def cmd_eval_depth(args) -> int:
             median_scale=not args.no_median_scale,
             pred_path=args.pred_path,
             pred_inverse=args.pred_inverse,
+            split_sha=args.split_sha,
         )
         print(json.dumps(metrics, indent=2))
         return 0
@@ -509,6 +510,7 @@ def cmd_eval_depth(args) -> int:
         num_devices=args.num_devices,
         median_scale=not args.no_median_scale,
         int8=args.int8,
+        split_sha=args.split_sha,
     )
     if args.int8:
         metrics["split"]["int8"] = True
@@ -1132,7 +1134,8 @@ def cmd_zoo(args) -> int:
             )
         else:  # eval-depth output
             report = zoo.check_parity(
-                measured, variant=args.variant_name, rtol=args.rtol
+                measured, variant=args.variant_name, rtol=args.rtol,
+                int8=getattr(args, "int8", False),
             )
         for row in report["rows"]:
             if row["status"] == "missing":
@@ -1394,6 +1397,11 @@ def main(argv=None) -> int:
                         "(--save-preds output, or per-frame *.npy) — the "
                         "reference's two-phase eval_depth protocol; works "
                         "on predictions from any framework")
+    p.add_argument("--split-sha", default=None, metavar="SHA256",
+                   help="pin the split file's SHA-256: refuse to run if "
+                        "it differs, and mark the provenance 'pinned' "
+                        "(zoo --check requires a pinned hash before "
+                        "accepting a canonical-split claim)")
     p.add_argument("--pred-inverse", action="store_true",
                    help="stored maps are inverse depth (raw net output); "
                         "invert before the metric pass")
@@ -1587,6 +1595,12 @@ def main(argv=None) -> int:
     p.add_argument("--rtol", type=float, default=None,
                    help="override the gate tolerance (default: 1%% exact "
                         "rows, 5%% approximate rows)")
+    p.add_argument("--int8", action="store_true",
+                   help="gate an int8 (w8a8) serving run: requires the "
+                        "eval JSON to declare quant=int8 (eval-depth "
+                        "--int8) and widens the tolerance by the "
+                        "declared serving budget (+3%% rel, from "
+                        "benchmarks/int8_ab.py)")
     p.set_defaults(fn=cmd_zoo)
 
     p = sub.add_parser("bench", help="throughput benchmark (reference: caffe time)")

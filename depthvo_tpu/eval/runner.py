@@ -168,6 +168,7 @@ def run_depth_eval(
     pred_path: str | None = None,
     pred_inverse: bool = False,
     int8: bool = False,
+    split_sha: str | None = None,
 ) -> Dict[str, float]:
     """Eigen-split depth benchmark: read test frames + gt depth npz/npy,
     run batched inference, resize to gt, compute the metric table.
@@ -186,14 +187,33 @@ def run_depth_eval(
     stored maps as inverse depth (the raw network output convention).
 
     The returned dict carries a ``split`` sub-dict —
-    ``{split_file, n_frames, canonical, source}`` — and a warning is
-    emitted unless the run used the canonical 697-frame Eigen list, so a
-    derived-scene-list run can never be silently compared to published
-    tables (SURVEY.md §3.2; VERDICT r2 item 9).
+    ``{split_file, n_frames, canonical, source, sha256, pinned}`` — and a
+    warning is emitted unless the run used the canonical 697-frame Eigen
+    list, so a derived-scene-list run can never be silently compared to
+    published tables (SURVEY.md §3.2; VERDICT r2 item 9).
+
+    ``split_sha`` pins the identity of a user-supplied canonical split
+    file (VERDICT r3 item 8): the run REFUSES to start if the file's
+    SHA-256 differs, and the provenance block records ``pinned: True`` —
+    which ``zoo --check`` requires before it will accept a "canonical"
+    claim (the widely-circulated Eigen-697 file cannot be fetched and
+    checksummed from this machine, so the pin is the operator's
+    attestation of which exact file produced the numbers).
     """
+    import hashlib
     import warnings
 
     from depthvo_tpu.data.kitti import load_image_u8
+
+    with open(split_file, "rb") as fb:
+        digest = hashlib.sha256(fb.read()).hexdigest()
+    if split_sha is not None and digest != split_sha.strip().lower():
+        raise ValueError(
+            f"split file {split_file} has SHA-256 {digest}, which does "
+            f"not match the pinned --split-sha {split_sha} — refusing to "
+            "evaluate against the wrong split"
+        )
+    sha_prov = {"sha256": digest, "pinned": split_sha is not None}
 
     if model is None and pred_path is None:
         model = (
@@ -220,11 +240,16 @@ def run_depth_eval(
                 frames.append(load_image_u8(img_path, height, width))
             gts.append(np.load(gt_path))
     if pred_path is not None:
-        return _eval_saved_predictions(
+        metrics = _eval_saved_predictions(
             pred_path, gts, split_file, split_source,
             max_depth=max_depth, median_scale=median_scale,
             pred_inverse=pred_inverse,
         )
+        metrics["split"].update(sha_prov)
+        # Saved predictions may come from any tool/precision; the JSON
+        # must not claim a quantization mode it cannot know.
+        metrics["quant"] = "external"
+        return metrics
     if int8:
         # w8a8 serving sweep: calibrate on the first frames of the split
         # (representative by construction), then run quantized.
@@ -270,10 +295,15 @@ def run_depth_eval(
             os.path.join(save_preds_dir, "depth_predictions.npy"),
             np.stack(raw_preds),
         )
-    return _finish_depth_eval(
+    metrics = _finish_depth_eval(
         preds_resized, gts, split_file, split_source,
         max_depth=max_depth, median_scale=median_scale,
+        extra_split=sha_prov,
     )
+    # Quantization provenance: the int8-aware zoo gate (`zoo --check
+    # --int8`) requires the eval JSON to declare how it was produced.
+    metrics["quant"] = "int8" if int8 else "off"
+    return metrics
 
 
 def _finish_depth_eval(

@@ -355,3 +355,51 @@ class TestSavedPredictionEval:
                 checkpoint_dir=None, kitti_root=root, split_file=split,
                 pred_path=str(short),
             )
+
+
+class TestSplitShaPinning:
+    """VERDICT r3 item 8: split-file SHA-256 provenance + pinning."""
+
+    def test_provenance_carries_hash_and_pin_state(self, eigen_tree):
+        import hashlib
+
+        root, split = eigen_tree
+        with open(split, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()
+        with pytest.warns(UserWarning, match="NON-CANONICAL"):
+            unpinned = run_depth_eval(
+                checkpoint_dir=None, kitti_root=root, split_file=split,
+                height=32, width=96, batch_size=2,
+            )
+        assert unpinned["split"]["sha256"] == digest
+        assert unpinned["split"]["pinned"] is False
+        assert unpinned["quant"] == "off"
+
+        with pytest.warns(UserWarning, match="NON-CANONICAL"):
+            pinned = run_depth_eval(
+                checkpoint_dir=None, kitti_root=root, split_file=split,
+                height=32, width=96, batch_size=2, split_sha=digest.upper(),
+            )
+        assert pinned["split"]["pinned"] is True
+
+    def test_mismatched_pin_refuses_to_run(self, eigen_tree):
+        root, split = eigen_tree
+        with pytest.raises(ValueError, match="does not match the pinned"):
+            run_depth_eval(
+                checkpoint_dir=None, kitti_root=root, split_file=split,
+                height=32, width=96, batch_size=2, split_sha="0" * 64,
+            )
+
+    def test_saved_prediction_phase_carries_hash(self, eigen_tree, tmp_path):
+        root, split = eigen_tree
+        preds = np.full((3, 24, 80), 10.0, np.float32)
+        path = str(tmp_path / "preds.npy")
+        np.save(path, preds)
+        with pytest.warns(UserWarning, match="NON-CANONICAL"):
+            m = run_depth_eval(
+                checkpoint_dir=None, kitti_root=root, split_file=split,
+                pred_path=path,
+            )
+        assert len(m["split"]["sha256"]) == 64
+        assert m["split"]["pinned"] is False
+        assert m["quant"] == "external"

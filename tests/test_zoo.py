@@ -119,3 +119,58 @@ def test_cli_zoo_lists_table(capsys):
     for name in zoo.ZOO:
         assert name in out
     assert "import-caffemodel" in out
+
+
+def test_int8_gate_widens_tolerance_and_requires_declaration():
+    """VERDICT r3 item 7: `zoo --check --int8` applies published + the
+    declared serving budget (INT8_EXTRA_RTOL), and refuses float runs."""
+    measured = {k: v * 1.03 for k, v in _published().items()}
+    measured["quant"] = "int8"
+    # 3% off fails the plain 1% gate but passes the int8 gate (1% + 3%).
+    assert not zoo.check_parity(measured, "full_nyuv2")["parity"]
+    report = zoo.check_parity(measured, "full_nyuv2", int8=True)
+    assert report["parity"] and report["int8"]
+    assert report["rtol"] == zoo.PARITY_RTOL + zoo.INT8_EXTRA_RTOL
+
+    # Above the widened gate: still fails.
+    worse = {k: v * 1.05 for k, v in _published().items()}
+    worse["quant"] = "int8"
+    assert not zoo.check_parity(worse, "full_nyuv2", int8=True)["parity"]
+
+    # A float (or undeclared) run must not be granted the int8 budget.
+    undeclared = {k: v * 1.03 for k, v in _published().items()}
+    with pytest.raises(ValueError, match="quant"):
+        zoo.check_parity(undeclared, "full_nyuv2", int8=True)
+    undeclared["quant"] = "off"
+    with pytest.raises(ValueError, match="quant"):
+        zoo.check_parity(undeclared, "full_nyuv2", int8=True)
+
+
+def test_cli_zoo_check_int8_flag(tmp_path, capsys):
+    from depthvo_tpu import cli
+
+    measured = {k: v * 1.03 for k, v in _published().items()}
+    measured["quant"] = "int8"
+    path = tmp_path / "int8.json"
+    path.write_text(json.dumps(measured))
+    assert cli.main(["zoo", "--check", str(path)]) == 1
+    capsys.readouterr()
+    assert cli.main(["zoo", "--check", str(path), "--int8"]) == 0
+    assert "pass" in capsys.readouterr().out
+
+
+def test_unpinned_canonical_claim_is_refused():
+    """VERDICT r3 item 8: a canonical-split claim without a pinned
+    SHA-256 is refused; pinned provenance passes."""
+    measured = _published()
+    measured["split"] = {
+        "canonical": True, "n_frames": 697,
+        "sha256": "ab" * 32, "pinned": False,
+    }
+    report = zoo.check_parity(measured, "full_nyuv2")
+    assert not report["parity"]
+    assert "pinned" in report["warning"]
+    assert "ab" * 32 in report["warning"]  # tells the user what to pin
+
+    measured["split"]["pinned"] = True
+    assert zoo.check_parity(measured, "full_nyuv2")["parity"]
