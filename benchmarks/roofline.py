@@ -1,0 +1,348 @@
+#!/usr/bin/env python
+"""Per-category roofline of the train step (VERDICT r3 "next" #3).
+
+Answers, with measurements rather than narrative, why training MFU sits
+where it does and what the irreducible floor of a full_feat step is:
+
+1. Measures THIS chip's achievable ceilings (not datasheet numbers):
+   - bf16 matmul TF/s via a large square matmul (MXU ceiling),
+   - HBM GB/s via a large f32 elementwise copy (bandwidth ceiling).
+2. For each per-chip batch size (default 4/8/16), compiles the K=8 scan
+   train step, pulls XLA cost analysis (flops + bytes accessed), times
+   it, and parses a jax.profiler device trace into op categories
+   (convolution fusions / Pallas warp custom-calls / data formatting /
+   loop fusions / other).
+3. Emits the speed-of-light table:
+   - conv category: conv-attributed FLOPs / measured matmul TF/s,
+   - warp category: analytic kernel HBM bytes / measured HBM GB/s,
+   - whole step: max(compute SOL, memory SOL) vs measured ms.
+4. Optional --loss-dtype A/B: photometric-region f32 vs bf16 step time.
+
+Run on the real chip: PYTHONPATH=. python benchmarks/roofline.py
+Prints one JSON document (indented) — PERF.md's roofline section is a
+transcription of it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------- ceilings
+
+def measured_matmul_tflops(n: int = 8192, reps: int = 5) -> float:
+    """Achieved bf16 TF/s on a large square matmul (the MXU ceiling this
+    program could ever see; datasheet v5e peak is 197)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((n, n), jnp.bfloat16)
+    b = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def many(a, b):
+        def body(c, _):
+            # carry-dependent so the loop cannot be hoisted
+            return (a @ (b + c[0, 0] * 0)).astype(jnp.bfloat16), None
+
+        c, _ = jax.lax.scan(body, a, None, length=8)
+        return c
+
+    np.asarray(many(a, b))  # warm
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(many(a, b))
+        best = min(best, (time.perf_counter() - t0) / 8)
+    return 2 * n**3 / best / 1e12
+
+
+def measured_hbm_gbps(mb: int = 256, reps: int = 5) -> float:
+    """Achieved HBM GB/s on a big f32 copy (read + write each element)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = mb * 1024 * 1024 // 4
+    x = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def many(x):
+        def body(c, _):
+            return c + 1.0, None
+
+        c, _ = jax.lax.scan(body, x, None, length=8)
+        return c
+
+    np.asarray(many(x)[0])
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(many(x)[0])
+        best = min(best, (time.perf_counter() - t0) / 8)
+    return 2 * n * 4 / best / 1e9
+
+
+# ------------------------------------------------------- trace categories
+
+# Event-name classification for TPU device lanes. XLA op names on TPU
+# traces carry the HLO instruction name; fusions keep the dominant op in
+# the name ("fusion" alone = loop fusion).
+_CATEGORIES = (
+    ("conv", re.compile(r"convolution|conv_general|%conv")),
+    ("warp_custom_call", re.compile(r"custom-call|custom_call|tpu_custom")),
+    ("data_formatting", re.compile(
+        r"transpose|copy(?!-done)|bitcast|reshape|pad|slice|concatenate"
+    )),
+    ("reduce", re.compile(r"reduce|all-reduce|psum")),
+    ("loop_fusion", re.compile(r"fusion")),
+)
+
+
+def classify(name: str) -> str:
+    low = name.lower()
+    for cat, rx in _CATEGORIES:
+        if rx.search(low):
+            return cat
+    return "other"
+
+
+def parse_trace(trace_dir: str) -> dict:
+    """Sum device-lane self time per category from a profiler trace.
+
+    Reads the trace-viewer JSON (plugins/profile/*/
+    *.trace.json.gz). Only events on TPU/device processes count; host
+    python threads are excluded.
+    """
+    paths = sorted(
+        glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                  recursive=True),
+        key=os.path.getmtime,
+    )
+    if not paths:
+        return {"error": f"no trace.json.gz under {trace_dir}"}
+    with gzip.open(paths[-1], "rt") as f:
+        doc = json.load(f)
+    events = doc.get("traceEvents", [])
+    # Map pid -> process name to find device lanes.
+    pid_name = {}
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_name[ev["pid"]] = ev.get("args", {}).get("name", "")
+    device_pids = {
+        pid for pid, name in pid_name.items()
+        if ("TPU" in name or "/device" in name) and "python" not in name.lower()
+    }
+    totals: dict[str, float] = {}
+    examples: dict[str, dict] = {}
+    for ev in events:
+        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
+            continue
+        dur = ev.get("dur", 0)  # microseconds
+        if not dur:
+            continue
+        cat = classify(ev.get("name", ""))
+        totals[cat] = totals.get(cat, 0.0) + dur
+        ex = examples.setdefault(cat, {})
+        ex[ev["name"]] = ex.get(ev["name"], 0.0) + dur
+    # Keep the 4 biggest example op names per category (for auditing the
+    # classifier, not for the table).
+    top = {
+        cat: sorted(ex.items(), key=lambda kv: -kv[1])[:4]
+        for cat, ex in examples.items()
+    }
+    return {
+        "total_device_us": sum(totals.values()),
+        "by_category_us": {k: round(v, 1) for k, v in sorted(
+            totals.items(), key=lambda kv: -kv[1])},
+        "top_ops": top,
+        "trace_file": paths[-1],
+    }
+
+
+# ----------------------------------------------------- warp byte analysis
+
+def warp_hbm_bytes(cfg, batch: int) -> float:
+    """Analytic HBM traffic (bytes, f32) of all warp kernel calls in ONE
+    full_feat train step — the memory speed-of-light numerator for the
+    warp category.
+
+    Mirrors compute_losses' call sites: stereo warp at every scale,
+    frozen temporal warp at the coarse scales, fused C=19 frozen warp at
+    the finest. fwd reads (src, depth) writes (out, valid, du/dv factors
+    for the frozen kernels); bwd reads (grad_out, factors/src rows)
+    writes (d_depth [+ d_src for stereo]). We count each operand once —
+    the optimistic (speed-of-light) assumption that every byte moves
+    exactly once between HBM and VMEM.
+    """
+    H, W = cfg.model.height, cfg.model.width
+    total = 0.0
+    for i in range(cfg.model.num_scales):
+        h, w = H // 2**i, W // 2**i
+        hw = h * w * batch * 4.0  # f32 bytes of one (B,h,w) plane
+        # stereo warp: fwd src(3) + depth(1) -> out(3) + valid(1);
+        # bwd grad(3) + src(3) + depth(1) -> d_src(3) + d_depth(1)
+        total += hw * (8 + 11)
+        if cfg.use_temporal:
+            finest = i == 0
+            C = 19 if (finest and cfg.use_feature) else 3
+            if finest and not cfg.use_feature:
+                continue
+            # frozen warp: fwd src(C)+depth -> out(C)+valid+factors(2);
+            # bwd grad(C)+factors(2) -> d_depth(1)+d_twist-partials(~6)
+            total += hw * ((2 * C + 4) + (C + 9))
+    return total
+
+
+# --------------------------------------------------------------- the step
+
+def step_measurement(batch: int, variant: str, steps: int, trace: bool,
+                     loss_dtype: str = "float32") -> dict:
+    import jax
+
+    from depthvo_tpu import configs
+    from depthvo_tpu.data.synthetic import SyntheticScenes
+    from depthvo_tpu.parallel import mesh as pmesh
+    from depthvo_tpu.train import loop as train_loop
+    from depthvo_tpu.train.state import create_state
+    from depthvo_tpu.utils.profiling import time_fn
+
+    cfg = getattr(configs, variant)(batch_size=batch)
+    if loss_dtype != "float32":
+        cfg = dataclasses.replace(cfg, loss_dtype=loss_dtype)
+    mesh = pmesh.make_mesh(1)
+    state = jax.device_put(
+        create_state(cfg, jax.random.PRNGKey(0)), pmesh.replicated(mesh)
+    )
+    K_SCAN = 8
+    batch_np = SyntheticScenes(cfg, seed=0, num_scenes=2).batch(batch)
+    stacked = pmesh.shard_stacked_batch(
+        train_loop.stack_batches([batch_np] * K_SCAN), mesh
+    )
+    step_fn = train_loop.make_scan_train_step(cfg, mesh)
+    compiled = step_fn.lower(state, stacked).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+    bytes_accessed = float(cost.get("bytes accessed", 0.0))
+
+    holder = {"state": state}
+
+    def fn():
+        holder["state"], m = compiled(holder["state"], stacked)
+        return m
+
+    stats = time_fn(fn, steps=steps, warmup=3, chunk=4)
+    ms_per_step = stats["median_s"] / K_SCAN * 1e3
+
+    out = {
+        "batch": batch,
+        "loss_dtype": loss_dtype,
+        "ms_per_step": round(ms_per_step, 2),
+        "frames_per_sec": round(batch / (ms_per_step / 1e3), 1),
+        "flops_per_step": flops,
+        "bytes_accessed_per_step": bytes_accessed,
+        "warp_kernel_bytes_analytic": warp_hbm_bytes(cfg, batch),
+    }
+    if trace:
+        tdir = f"/tmp/roofline_trace_b{batch}_{loss_dtype}"
+        os.makedirs(tdir, exist_ok=True)
+        with jax.profiler.trace(tdir):
+            for _ in range(3):
+                m = fn()
+            np.asarray(jax.tree.leaves(m)[0])
+        parsed = parse_trace(tdir)
+        # Per-step category times: the trace covers 3 dispatches x K steps.
+        if "by_category_us" in parsed:
+            n_steps = 3 * K_SCAN
+            out["category_ms_per_step"] = {
+                k: round(v / 1e3 / n_steps, 3)
+                for k, v in parsed["by_category_us"].items()
+            }
+            out["trace_total_ms_per_step"] = round(
+                parsed["total_device_us"] / 1e3 / n_steps, 3
+            )
+            out["trace_top_ops"] = parsed["top_ops"]
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="4,8,16")
+    ap.add_argument("--variant", default="full_feat")
+    ap.add_argument("--steps", type=int, default=24,
+                    help="timed dispatches per config (x8 scanned steps)")
+    ap.add_argument("--trace", action="store_true", default=True)
+    ap.add_argument("--no-trace", dest="trace", action="store_false")
+    ap.add_argument("--loss-dtype-ab", action="store_true",
+                    help="also measure the photometric region in bf16")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    doc: dict = {
+        "metric": "train_step_roofline",
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    doc["ceilings"] = {
+        "matmul_bf16_tflops_measured": round(measured_matmul_tflops(), 1),
+        "hbm_gbps_measured": round(measured_hbm_gbps(), 1),
+    }
+    mm = doc["ceilings"]["matmul_bf16_tflops_measured"] * 1e12
+    bw = doc["ceilings"]["hbm_gbps_measured"] * 1e9
+
+    rows = []
+    for b in [int(x) for x in args.batches.split(",")]:
+        row = step_measurement(b, args.variant, args.steps, args.trace)
+        # Speed-of-light statements.
+        sol_compute_ms = row["flops_per_step"] / mm * 1e3
+        sol_memory_ms = row["bytes_accessed_per_step"] / bw * 1e3
+        row["sol_ms"] = {
+            "compute(flops/measured_matmul)": round(sol_compute_ms, 2),
+            "memory(bytes/measured_hbm)": round(sol_memory_ms, 2),
+            "floor(max)": round(max(sol_compute_ms, sol_memory_ms), 2),
+        }
+        row["x_above_floor"] = round(
+            row["ms_per_step"] / max(sol_compute_ms, sol_memory_ms), 2
+        )
+        cat = row.get("category_ms_per_step", {})
+        if "conv" in cat:
+            row["conv_x_above_compute_sol"] = round(
+                cat["conv"] / max(sol_compute_ms, 1e-9), 2
+            )
+        if "warp_custom_call" in cat:
+            warp_sol = row["warp_kernel_bytes_analytic"] / bw * 1e3
+            row["warp_sol_ms(bytes/hbm)"] = round(warp_sol, 3)
+            row["warp_x_above_memory_sol"] = round(
+                cat["warp_custom_call"] / max(warp_sol, 1e-9), 2
+            )
+        rows.append(row)
+    doc["rows"] = rows
+
+    if args.loss_dtype_ab:
+        b = int(args.batches.split(",")[0])
+        doc["loss_dtype_ab"] = {
+            "f32": step_measurement(b, args.variant, args.steps, False),
+            "bf16": step_measurement(b, args.variant, args.steps, False,
+                                     loss_dtype="bfloat16"),
+        }
+
+    print(json.dumps(doc, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

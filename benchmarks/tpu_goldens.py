@@ -81,3 +81,76 @@ for C in (3, 19):
     tx = timed(False, C)
     print(f"C={C}: fwd+bwd pallas {tp:.3f} ms vs XLA {tx:.3f} ms ({tx/tp:.2f}x)")
 print("GEN-AUX-OK")
+
+
+# ---- Stereo warp: golden + timing (the second kernel family) -------------
+# Same harness/protocol as the general warp above so README/PARITY/PERF can
+# quote ONE number: fwd+bwd per call via a 20-step scan, best-of-3 minimum.
+# Two gradient protocols:
+#   * d_depth only — what the TRAINING GRAPH does (the stereo source is an
+#     input image; no gradient flows to it). This is the number the docs
+#     quote.
+#   * d_(src,depth) — exercises the full custom VJP incl. the scatter-free
+#     d_src backward; the XLA comparison pays a real scatter here, so the
+#     ratio is much larger. Reported for completeness, not the headline.
+
+def stereo_loss_fn(use_pallas, src, depth, fxb):
+    w, v = ops.stereo_warp(src, depth, fxb, use_pallas=use_pallas, dmax=128)
+    m = v.astype(jnp.float32)[..., None]
+    return jnp.sum(jnp.abs(w * m)) / jnp.sum(m)
+
+
+src_s = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 3)), jnp.float32)
+depth_s = jnp.asarray(rng.uniform(4.0, 30.0, (B, H, W)), jnp.float32)
+fxb = jnp.float32(350.0 * 0.54)
+
+gp = jax.jit(jax.grad(lambda s, d: stereo_loss_fn(True, s, d, fxb), argnums=(0, 1)))
+gx = jax.jit(jax.grad(lambda s, d: stereo_loss_fn(False, s, d, fxb), argnums=(0, 1)))
+(ds_p, dd_p) = map(np.asarray, gp(src_s, depth_s))
+(ds_x, dd_x) = map(np.asarray, gx(src_s, depth_s))
+lp = float(jax.jit(lambda s, d: stereo_loss_fn(True, s, d, fxb))(src_s, depth_s))
+lx = float(jax.jit(lambda s, d: stereo_loss_fn(False, s, d, fxb))(src_s, depth_s))
+print(
+    f"stereo: loss pallas {lp:.6f} vs jnp {lx:.6f} | "
+    f"d_src max abs err {np.abs(ds_p - ds_x).max():.3e} | "
+    f"d_depth rel err "
+    f"{np.abs(dd_p - dd_x).max() / max(np.abs(dd_x).max(), 1e-9):.2e}"
+)
+
+
+def timed_stereo(use_pallas, grad_src, reps=3, K_inner=20):
+    @jax.jit
+    def many(s, d):
+        def body(c, _):
+            if grad_src:
+                l, (gs, gd) = jax.value_and_grad(
+                    lambda ss, dd: stereo_loss_fn(use_pallas, ss, dd, fxb),
+                    argnums=(0, 1),
+                )(s + c * 0.0, d)
+                return c + l + jnp.sum(gs) * 0.0 + jnp.sum(gd) * 0.0, None
+            l, gd = jax.value_and_grad(
+                lambda dd: stereo_loss_fn(use_pallas, s + c * 0.0, dd, fxb)
+            )(d)
+            return c + l + jnp.sum(gd) * 0.0, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K_inner)
+        return c
+
+    np.asarray(many(src_s, depth_s))
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(many(src_s, depth_s))
+        best = min(best, (time.perf_counter() - t0) / K_inner)
+    return best * 1e3
+
+
+for label, grad_src in (("d_depth only (training protocol)", False),
+                        ("d_(src,depth) (full VJP)", True)):
+    tsp = timed_stereo(True, grad_src)
+    tsx = timed_stereo(False, grad_src)
+    print(
+        f"stereo [{label}]: fwd+bwd pallas {tsp:.3f} ms vs XLA {tsx:.3f} ms "
+        f"({tsx/tsp:.2f}x)"
+    )
+print("STEREO-OK")

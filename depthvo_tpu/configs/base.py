@@ -127,6 +127,14 @@ class ExperimentConfig:
     edge_aware_smoothness: bool = True
     stereo_baseline: float = KITTI_STEREO_BASELINE
 
+    # Dtype of the photometric loss REGION (image pyramids, warps'
+    # image payloads, L1/SSIM/smoothness elementwise work). The geometry
+    # core (depth, twists, projections) and all loss accumulations stay
+    # f32 regardless — only the image-sized tensors change width. bf16
+    # halves their HBM traffic; measured effect on the train step is in
+    # PERF.md's roofline section (benchmarks/roofline.py --loss-dtype-ab).
+    loss_dtype: str = "float32"
+
     # Static disparity bound (pixels, at full width) for the stereo warp
     # kernel. 0 = derive from the config at trace time:
     # margin * nominal_fx(width) * baseline * max inverse depth — see

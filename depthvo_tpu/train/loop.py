@@ -120,8 +120,10 @@ def compute_losses(
     # the HLO, custom-VJP boundary in the kernel's own layout), not as
     # a throughput claim; see PERF.md. The conv towers above stay NHWC
     # (their fast layout); only this boundary converts.
+    loss_dtype = jnp.dtype(config.loss_dtype)
+
     def to_chw(x):
-        return jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
+        return jnp.transpose(x.astype(loss_dtype), (0, 3, 1, 2))
 
     image_t_chw = to_chw(image_t)
     image_r_chw = to_chw(batch["image_r"]) if config.use_stereo else None

@@ -435,6 +435,42 @@ def test_compute_losses_accepts_uint8_batch():
     np.testing.assert_allclose(float(l_u8), float(l_f32), rtol=1e-5, atol=1e-7)
 
 
+def test_loss_dtype_bf16_region_close_to_f32():
+    """loss_dtype="bfloat16" (the HBM-traffic knob for the photometric
+    region, benchmarks/roofline.py) changes only image-sized tensor
+    widths: the total loss stays within bf16 tolerance of the f32 region
+    and gradients stay finite. Geometry (depth/twist) and accumulations
+    are f32 on both paths by construction."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from depthvo_tpu.train.state import build_models
+
+    cfg32 = configs.tiny_test()
+    cfg16 = dataclasses.replace(cfg32, loss_dtype="bfloat16")
+    scenes = SyntheticScenes(cfg32, seed=5, num_scenes=2)
+    batch = {k: jnp.asarray(v) for k, v in scenes.fixed_batch(2).items()}
+    state = create_state(cfg32, jax.random.PRNGKey(0))
+
+    losses = {}
+    for name, cfg in (("f32", cfg32), ("bf16", cfg16)):
+        models = build_models(cfg)
+
+        def loss_fn(params, cfg=cfg, models=models):
+            total, _ = train_loop.compute_losses(
+                cfg, models, params, state.batch_stats, batch, train=False
+            )
+            return total
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        losses[name] = float(loss)
+        for g in jax.tree.leaves(grads):
+            assert np.all(np.isfinite(np.asarray(g))), name
+    # bf16 has ~3 decimal digits; the scalar totals should agree to ~1%.
+    assert losses["bf16"] == pytest.approx(losses["f32"], rel=2e-2)
+
+
 def test_kitti_u8_loader_roundtrip(tmp_path):
     """u8=True datasets yield uint8 batches whose normalization matches
     the f32 loader within the native quantization bound."""
