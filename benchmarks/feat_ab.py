@@ -63,6 +63,37 @@ def depth_abs_rel(state, scenes, cfg, depth_quant: str = "off") -> float:
     return float(np.mean(np.abs(pred - gt) / gt))
 
 
+def pose_err(state, scenes, cfg) -> tuple[float, float]:
+    """(translation m, rotation deg) error of the trained odom net vs the
+    scenes' ground-truth relative pose ``T_ts``.
+
+    The targeted metric for the stress A/B: the temporal frames are the
+    ONLY supervision pose gets, so photometric ambiguity between them
+    corrupts pose first — depth stays pinned by the (unstressed) stereo
+    term. Feature-loss rescue, if the mechanism works, shows here."""
+    import jax.numpy as jnp
+
+    from depthvo_tpu.geometry import se3
+    from depthvo_tpu.train.state import build_models
+
+    batch = scenes.fixed_batch(cfg.batch_size)
+    gt_T = np.stack(
+        [scenes._scenes[i % len(scenes._scenes)]["T_ts"]
+         for i in range(cfg.batch_size)]
+    )
+    _, odom_net, _ = build_models(cfg)
+    pair = jnp.concatenate(
+        [jnp.asarray(batch["image_t"]), jnp.asarray(batch["image_s"])], axis=-1
+    )
+    twist = odom_net.apply({"params": state.params["odom"]}, pair, train=False)
+    T_pred = np.asarray(se3.exp(twist))
+    t_err = float(np.mean(np.linalg.norm(T_pred[:, :3, 3] - gt_T[:, :3, 3], axis=-1)))
+    rel = np.einsum("bij,bkj->bik", T_pred[:, :3, :3], gt_T[:, :3, :3])
+    cos = np.clip((np.trace(rel, axis1=1, axis2=2) - 1.0) * 0.5, -1.0, 1.0)
+    r_err = float(np.degrees(np.mean(np.arccos(cos))))
+    return t_err, r_err
+
+
 def run_arm(
     pretrained: bool,
     steps: int,
@@ -70,7 +101,8 @@ def run_arm(
     seed: int,
     use_feature: bool = True,
     stress: dict | None = None,
-) -> float:
+    with_pose: bool = False,
+):
     """Train one arm and return the depth abs-rel vs synthetic gt.
 
     ``use_feature=False`` trains the temporal_stereo loss graph (no
@@ -98,7 +130,10 @@ def run_arm(
     state = train_loop.fit(
         cfg, scenes.iterator(cfg.batch_size, fixed=True), steps, state=state
     )
-    return depth_abs_rel(state, scenes, cfg)
+    abs_rel = depth_abs_rel(state, scenes, cfg)
+    if with_pose:
+        return (abs_rel, *pose_err(state, scenes, cfg))
+    return abs_rel
 
 
 STRESS = dict(exposure_jitter=0.5, gamma_jitter=0.25, repeat_texture=True)
@@ -124,19 +159,39 @@ def main(argv=None) -> int:
         table = {}
         for cond, stress in (("clean", None), ("stress", STRESS)):
             feat = [run_arm(True, args.steps, args.pretrain_steps, s,
-                            use_feature=True, stress=stress) for s in seeds]
+                            use_feature=True, stress=stress, with_pose=True)
+                    for s in seeds]
             nofeat = [run_arm(False, args.steps, 0, s,
-                              use_feature=False, stress=stress)
+                              use_feature=False, stress=stress,
+                              with_pose=True)
                       for s in seeds]
+
+            def _cols(rows):
+                # rows: [(abs_rel, t_err_m, r_err_deg), ...] -> per-metric
+                a = np.asarray(rows, np.float64)
+                return {
+                    "abs_rel": [round(x, 4) for x in a[:, 0]],
+                    "pose_t_err_m": [round(x, 4) for x in a[:, 1]],
+                    "pose_r_err_deg": [round(x, 4) for x in a[:, 2]],
+                    # median over seeds: robust to a diverged outlier seed
+                    "median": {
+                        "abs_rel": round(float(np.median(a[:, 0])), 4),
+                        "pose_t_err_m": round(float(np.median(a[:, 1])), 4),
+                        "pose_r_err_deg": round(float(np.median(a[:, 2])), 4),
+                    },
+                }
+
+            f, n = _cols(feat), _cols(nofeat)
             table[cond] = {
-                "full_feat_pretrained": [round(x, 4) for x in feat],
-                "temporal_stereo": [round(x, 4) for x in nofeat],
-                "mean_full_feat": round(float(np.mean(feat)), 4),
-                "mean_temporal_stereo": round(float(np.mean(nofeat)), 4),
-                "feature_loss_wins": bool(np.mean(feat) <= np.mean(nofeat)),
+                "full_feat_pretrained": f,
+                "temporal_stereo": n,
+                "feature_loss_wins": {
+                    m: bool(f["median"][m] <= n["median"][m])
+                    for m in ("abs_rel", "pose_t_err_m", "pose_r_err_deg")
+                },
             }
         out = {
-            "metric": "feat_ab_stress_depth_abs_rel_synthetic",
+            "metric": "feat_ab_stress_synthetic",
             **table,
             "detail": {"steps": args.steps,
                        "pretrain_steps": args.pretrain_steps,

@@ -42,7 +42,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # ---------------------------------------------------------------- ceilings
 
-def measured_matmul_tflops(n: int = 8192, reps: int = 5) -> float:
+def _delta_time(make_fn, l_short: int, l_long: int, reps: int = 5) -> float:
+    """Seconds per scan iteration, with the constant per-dispatch cost
+    (tunnel round-trip ~20 ms on this machine, launch overhead) cancelled
+    by timing two scan lengths and differencing: (t_long - t_short) /
+    (l_long - l_short). ``make_fn(length)`` returns a zero-arg callable
+    whose result fetch is O(scalar) — fetching a full operand would time
+    the tunnel link, not the device (the round-3 ceiling-measurement bug)."""
+    fns = {length: make_fn(length) for length in (l_short, l_long)}
+    for fn in fns.values():
+        fn()  # warm/compile
+    best = {length: 1e9 for length in fns}
+    for _ in range(reps):
+        for length, fn in fns.items():
+            t0 = time.perf_counter()
+            fn()
+            best[length] = min(best[length], time.perf_counter() - t0)
+    return (best[l_long] - best[l_short]) / (l_long - l_short)
+
+
+def measured_matmul_tflops(n: int = 8192) -> float:
     """Achieved bf16 TF/s on a large square matmul (the MXU ceiling this
     program could ever see; datasheet v5e peak is 197)."""
     import jax
@@ -51,67 +70,65 @@ def measured_matmul_tflops(n: int = 8192, reps: int = 5) -> float:
     a = jnp.ones((n, n), jnp.bfloat16)
     b = jnp.ones((n, n), jnp.bfloat16)
 
-    @jax.jit
-    def many(a, b):
-        def body(c, _):
-            # carry-dependent so the loop cannot be hoisted
-            return (a @ (b + c[0, 0] * 0)).astype(jnp.bfloat16), None
+    def make(length):
+        @jax.jit
+        def many(a, b):
+            def body(c, _):
+                # carry-dependent so the loop cannot be hoisted
+                return (a @ (b + c[0, 0] * 0)).astype(jnp.bfloat16), None
 
-        c, _ = jax.lax.scan(body, a, None, length=8)
-        return c
+            c, _ = jax.lax.scan(body, a, None, length=length)
+            return c[0, 0]  # scalar fetch — don't time the link
 
-    np.asarray(many(a, b))  # warm
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(many(a, b))
-        best = min(best, (time.perf_counter() - t0) / 8)
-    return 2 * n**3 / best / 1e12
+        return lambda: np.asarray(many(a, b))
+
+    per_iter = _delta_time(make, 4, 20)
+    return 2 * n**3 / per_iter / 1e12
 
 
-def measured_hbm_gbps(mb: int = 256, reps: int = 5) -> float:
-    """Achieved HBM GB/s on a big f32 copy (read + write each element)."""
+def measured_hbm_gbps(mb: int = 512) -> float:
+    """Achieved HBM GB/s on a big f32 elementwise add (read + write)."""
     import jax
     import jax.numpy as jnp
 
     n = mb * 1024 * 1024 // 4
     x = jnp.ones((n,), jnp.float32)
 
-    @jax.jit
-    def many(x):
-        def body(c, _):
-            return c + 1.0, None
+    def make(length):
+        @jax.jit
+        def many(x):
+            def body(c, _):
+                return c + 1.0, None
 
-        c, _ = jax.lax.scan(body, x, None, length=8)
-        return c
+            c, _ = jax.lax.scan(body, x, None, length=length)
+            return c[0]
 
-    np.asarray(many(x)[0])
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(many(x)[0])
-        best = min(best, (time.perf_counter() - t0) / 8)
-    return 2 * n * 4 / best / 1e9
+        return lambda: np.asarray(many(x))
+
+    per_iter = _delta_time(make, 4, 20)
+    return 2 * n * 4 / per_iter / 1e9
 
 
 # ------------------------------------------------------- trace categories
 
-# Event-name classification for TPU device lanes. XLA op names on TPU
-# traces carry the HLO instruction name; fusions keep the dominant op in
-# the name ("fusion" alone = loop fusion).
+# Event-name classification for TPU device lanes — the FALLBACK when an
+# event has no ``hlo_category`` arg (XLA's own exact category, preferred).
 _CATEGORIES = (
-    ("conv", re.compile(r"convolution|conv_general|%conv")),
-    ("warp_custom_call", re.compile(r"custom-call|custom_call|tpu_custom")),
-    ("data_formatting", re.compile(
+    ("convolution fusion", re.compile(r"convolution|conv_general|%conv")),
+    ("custom-call", re.compile(r"custom-call|custom_call|tpu_custom")),
+    ("data formatting", re.compile(
         r"transpose|copy(?!-done)|bitcast|reshape|pad|slice|concatenate"
     )),
     ("reduce", re.compile(r"reduce|all-reduce|psum")),
-    ("loop_fusion", re.compile(r"fusion")),
+    ("loop fusion", re.compile(r"fusion")),
 )
 
 
-def classify(name: str) -> str:
-    low = name.lower()
+def classify(ev: dict) -> str:
+    cat = ev.get("args", {}).get("hlo_category")
+    if cat:
+        return cat
+    low = ev.get("name", "").lower()
     for cat, rx in _CATEGORIES:
         if rx.search(low):
             return cat
@@ -119,11 +136,15 @@ def classify(name: str) -> str:
 
 
 def parse_trace(trace_dir: str) -> dict:
-    """Sum device-lane self time per category from a profiler trace.
+    """Sum device-lane SELF time per category from a profiler trace.
 
-    Reads the trace-viewer JSON (plugins/profile/*/
-    *.trace.json.gz). Only events on TPU/device processes count; host
-    python threads are excluded.
+    Reads the trace-viewer JSON (plugins/profile/*/*.trace.json.gz) and
+    keeps ONLY the device "XLA Ops" thread — the "XLA Modules" and
+    "Steps" lanes carry container events (whole-program / whole-step
+    spans) that would otherwise swamp the categories, and host python
+    threads are excluded. Events on the ops lane still nest (fusion
+    parents contain sub-ops), so self time is computed with an interval
+    stack: a parent's duration minus its children's.
     """
     paths = sorted(
         glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
@@ -135,27 +156,52 @@ def parse_trace(trace_dir: str) -> dict:
     with gzip.open(paths[-1], "rt") as f:
         doc = json.load(f)
     events = doc.get("traceEvents", [])
-    # Map pid -> process name to find device lanes.
-    pid_name = {}
+    pid_name: dict = {}
+    tid_name: dict = {}
     for ev in events:
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
             pid_name[ev["pid"]] = ev.get("args", {}).get("name", "")
-    device_pids = {
-        pid for pid, name in pid_name.items()
-        if ("TPU" in name or "/device" in name) and "python" not in name.lower()
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
+            tid_name[(ev["pid"], ev["tid"])] = ev.get("args", {}).get("name", "")
+    op_lanes = {
+        key for key, name in tid_name.items()
+        if name == "XLA Ops" and "/device" in pid_name.get(key[0], "")
     }
+    ops = [
+        ev for ev in events
+        if ev.get("ph") == "X" and ev.get("dur")
+        and (ev.get("pid"), ev.get("tid")) in op_lanes
+    ]
+    ops.sort(key=lambda e: (e["ts"], -e["dur"]))
     totals: dict[str, float] = {}
+    cat_bytes: dict[str, float] = {}
+    cat_flops: dict[str, float] = {}
     examples: dict[str, dict] = {}
-    for ev in events:
-        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
-            continue
-        dur = ev.get("dur", 0)  # microseconds
-        if not dur:
-            continue
-        cat = classify(ev.get("name", ""))
+    stack: list = []  # (end_ts, event) of open enclosing events
+    for ev in ops:
+        ts, dur, name = ev["ts"], ev["dur"], ev.get("name", "")
+        while stack and stack[-1][0] <= ts:
+            stack.pop()
+        if stack:
+            # Child: subtract from the enclosing event's category so
+            # every microsecond is counted exactly once (self time).
+            parent_cat = classify(stack[-1][1])
+            totals[parent_cat] = totals.get(parent_cat, 0.0) - dur
+            ex = examples.setdefault(parent_cat, {})
+            pname = stack[-1][1].get("name", "")
+            ex[pname] = ex.get(pname, 0.0) - dur
+        cat = classify(ev)
+        args = ev.get("args", {})
         totals[cat] = totals.get(cat, 0.0) + dur
+        cat_bytes[cat] = cat_bytes.get(cat, 0.0) + float(
+            args.get("bytes_accessed", 0) or 0
+        )
+        cat_flops[cat] = cat_flops.get(cat, 0.0) + float(
+            args.get("model_flops", 0) or 0
+        )
         ex = examples.setdefault(cat, {})
-        ex[ev["name"]] = ex.get(ev["name"], 0.0) + dur
+        ex[name] = ex.get(name, 0.0) + dur
+        stack.append((ts + dur, ev))
     # Keep the 4 biggest example op names per category (for auditing the
     # classifier, not for the table).
     top = {
@@ -166,6 +212,8 @@ def parse_trace(trace_dir: str) -> dict:
         "total_device_us": sum(totals.values()),
         "by_category_us": {k: round(v, 1) for k, v in sorted(
             totals.items(), key=lambda kv: -kv[1])},
+        "by_category_bytes": {k: round(v, 0) for k, v in cat_bytes.items()},
+        "by_category_flops": {k: round(v, 0) for k, v in cat_flops.items()},
         "top_ops": top,
         "trace_file": paths[-1],
     }
@@ -271,6 +319,14 @@ def step_measurement(batch: int, variant: str, steps: int, trace: bool,
                 k: round(v / 1e3 / n_steps, 3)
                 for k, v in parsed["by_category_us"].items()
             }
+            out["category_gb_per_step"] = {
+                k: round(v / 1e9 / n_steps, 3)
+                for k, v in parsed["by_category_bytes"].items()
+            }
+            out["category_gflop_per_step"] = {
+                k: round(v / 1e9 / n_steps, 2)
+                for k, v in parsed["by_category_flops"].items()
+            }
             out["trace_total_ms_per_step"] = round(
                 parsed["total_device_us"] / 1e3 / n_steps, 3
             )
@@ -319,15 +375,34 @@ def main(argv=None) -> int:
             row["ms_per_step"] / max(sol_compute_ms, sol_memory_ms), 2
         )
         cat = row.get("category_ms_per_step", {})
-        if "conv" in cat:
-            row["conv_x_above_compute_sol"] = round(
-                cat["conv"] / max(sol_compute_ms, 1e-9), 2
-            )
-        if "warp_custom_call" in cat:
+        gb = row.get("category_gb_per_step", {})
+        gf = row.get("category_gflop_per_step", {})
+        # Per-category speed of light: each category's floor is the max
+        # of its compute time at the measured matmul rate and its memory
+        # time at the measured HBM rate (bytes/flops from the trace's
+        # per-op XLA accounting). x = measured / floor names how far
+        # each category sits from light and therefore which unit binds.
+        percat = {}
+        for k, ms in cat.items():
+            floor_ms = max(gf.get(k, 0.0) * 1e9 / mm * 1e3,
+                           gb.get(k, 0.0) * 1e9 / bw * 1e3)
+            percat[k] = {
+                "ms": ms,
+                "gb": gb.get(k, 0.0),
+                "gflop": gf.get(k, 0.0),
+                "floor_ms": round(floor_ms, 3),
+                "x_above_floor": round(ms / floor_ms, 2) if floor_ms > 1e-6
+                else None,
+            }
+        row["per_category_sol"] = percat
+        if "custom-call" in cat:
+            # The Pallas warp kernels are the only custom-calls in the
+            # step; their analytic one-pass byte count is a tighter
+            # memory floor than XLA's per-op accounting.
             warp_sol = row["warp_kernel_bytes_analytic"] / bw * 1e3
             row["warp_sol_ms(bytes/hbm)"] = round(warp_sol, 3)
             row["warp_x_above_memory_sol"] = round(
-                cat["warp_custom_call"] / max(warp_sol, 1e-9), 2
+                cat["custom-call"] / max(warp_sol, 1e-9), 2
             )
         rows.append(row)
     doc["rows"] = rows
