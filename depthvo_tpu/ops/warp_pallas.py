@@ -404,7 +404,123 @@ def _gen_row_candidates(srow_refs, u0, au, dv, dv1, rv, n_blocks, consume):
                     consume(c, h, s1 - s0, sel0, sel1, ob)
 
 
-def _gen_fwd_kernel(*refs, rv, pad_v, Hp, emit_grad_aux):
+def _gen_band_candidates(srow_refs, u0, au, dv, dv1, rv, n_blocks, consume):
+    """Per-offset (band) candidates — the gather-count-minimal dual of
+    ``_gen_row_candidates``. NOT the default: measured neutral-to-slower
+    on v5e (see GEN_VARIANT note above / PERF.md) because per-candidate
+    vector work, not gather issues, binds the kernel.
+
+    The row variant's hit count is lower-bounded by ~TILE_ROWS for ANY
+    flow: dv tracks the output sublane (dv ≈ i + flow), so an 8-row tile
+    always fires ≥8 source-row candidates even for identity motion. The
+    band variant enumerates the OFFSET q = dv - i instead: for smooth
+    rigid-scene flow q is nearly constant across a tile, so only
+    ~(1 + flow spread) + 1 candidates fire (the +1 is the v1 tap at
+    q+1). Same per-candidate gather work, ~3-4x fewer fired candidates.
+    Bit-exact vs the row variant on TPU (same taps in the same
+    accumulation order per output pixel: the v0 tap fires at q0=dv-i,
+    the v1 tap one candidate later at q0+1, exactly as rows fire dv
+    before dv1=dv+1); in CPU interpret mode FMA association across the
+    two graph shapes differs by ≤2.4e-7.
+
+    For fired q, the candidate surface is the BAND band[i,:] =
+    window_row(q+i) — 8 consecutive window rows starting at q, built
+    from the two spanning row-blocks with a static sublane slice (q is a
+    Python loop constant). The horizontal resample H_q[i,j] =
+    lerp(band[i, u0[i,j]]) is keyed at the output pixel exactly like the
+    row variant's broadcast row, and taps select with dv-i == q (v0) /
+    dv1-i == q (v1). Sublanes whose band row falls outside [0, rv-1]
+    read a wrapped (real, finite) row from the stacked blocks and are
+    provably never selected: dv ≥ 0 and dv1 ≤ rv-1 bound the selectable
+    band rows.
+
+    (A per-output-block ``@pl.when`` gate inside the candidate body was
+    tried and REMOVED: C*n_blocks scalar branches per fired candidate
+    cost more than the skipped vector work — see PERF.md's band-vs-rows
+    A/B notes.)
+    """
+    C = srow_refs[0].shape[0]
+    W = srow_refs[0].shape[2]
+    nv = rv // TILE_ROWS
+    ii = jax.lax.broadcasted_iota(jnp.int32, dv.shape, dimension=0)
+    q0 = dv - ii  # in [-(TILE_ROWS-1), rv-2]
+    q1 = dv1 - ii  # = q0 + 1
+    for q in range(-(TILE_ROWS - 1), rv):
+        hit = jnp.any(q0 == q) | jnp.any(q1 == q)
+
+        @pl.when(hit)
+        def _(q=q):
+            b0 = max(0, min(q // TILE_ROWS, nv - 1))
+            b1 = min(b0 + 1, nv - 1)
+            sh = q - b0 * TILE_ROWS  # in [-(TILE_ROWS-1), TILE_ROWS-1]
+            # Channel-independent prep, once per (q, lane-block).
+            prep = []
+            for ob in range(n_blocks):
+                lo = ob * LANE
+                idx = u0[:, lo : lo + LANE]
+                a = au[:, lo : lo + LANE]
+                sel0 = (q0[:, lo : lo + LANE] == q).astype(jnp.float32)
+                sel1 = (q1[:, lo : lo + LANE] == q).astype(jnp.float32)
+                # |du| <= 127: taps live in blocks [ob-1, ob+1].
+                tbs = list(range(max(0, ob - 1), min(n_blocks, ob + 2)))
+                sels = []
+                locs = []
+                for tb in tbs:
+                    tlo = tb * LANE
+                    sels.append((idx >= tlo) & (idx < tlo + LANE))
+                    locs.append((idx - tlo) & (LANE - 1))
+                prep.append((ob, a, sel0, sel1, tbs, sels, locs))
+            for c in range(C):
+                stacked = jnp.concatenate(
+                    [srow_refs[b0][c, :, :], srow_refs[b1][c, :, :]], axis=0
+                )
+                if sh == 0:
+                    band = srow_refs[b0][c, :, :]
+                elif sh > 0:
+                    band = stacked[sh : sh + TILE_ROWS, :]
+                else:
+                    band = jnp.concatenate(
+                        [stacked[2 * TILE_ROWS + sh :, :],
+                         stacked[: TILE_ROWS + sh, :]],
+                        axis=0,
+                    )
+                band_r = pltpu.roll(band, shift=W - 1, axis=1)
+                for ob, a, sel0, sel1, tbs, sels, locs in prep:
+                    s0 = jnp.zeros((TILE_ROWS, LANE), jnp.float32)
+                    s1 = jnp.zeros((TILE_ROWS, LANE), jnp.float32)
+                    for tb, sel, local in zip(tbs, sels, locs):
+                        tlo = tb * LANE
+                        s0 = jnp.where(
+                            sel,
+                            jnp.take_along_axis(
+                                band[:, tlo : tlo + LANE], local, axis=1
+                            ),
+                            s0,
+                        )
+                        s1 = jnp.where(
+                            sel,
+                            jnp.take_along_axis(
+                                band_r[:, tlo : tlo + LANE], local, axis=1
+                            ),
+                            s1,
+                        )
+                    h = (1.0 - a) * s0 + a * s1
+                    consume(c, h, s1 - s0, sel0, sel1, ob)
+
+
+# Candidate enumeration strategy for the general kernel: "rows"
+# (per-source-row, DEFAULT) or "band" (per-offset). The band variant
+# fires 3-4x fewer candidates, but the 2026-08-19 TPU A/B showed the
+# kernel is bound by per-candidate VPU vector work, not gather count:
+# band is timing-noise-level faster at small motion (1.04-1.07x) and up
+# to 2x slower at large motion x C=19 (band construction costs
+# C x (concat+slice+roll) per fired candidate vs one broadcast). Kept
+# bit-exact-equivalent (tests/test_warp_pallas_interpret.py) as the
+# documented negative result — see PERF.md "candidate-enumeration A/B".
+GEN_VARIANT = "rows"
+
+
+def _gen_fwd_kernel(*refs, rv, pad_v, Hp, emit_grad_aux, variant=None):
     """Window source blocks: the kernel receives rv//8 row-blocks of the
     source (shifted per-tile via the BlockSpec index maps) instead of the
     whole image — VMEM per buffer is C*rv*W floats, not C*H*W, which
@@ -451,7 +567,12 @@ def _gen_fwd_kernel(*refs, rv, pad_v, Hp, emit_grad_aux):
             s_ref[c, :, lo : lo + LANE] += slope * w_v
             d_ref[c, :, lo : lo + LANE] += h * (sel1 - sel0)
 
-    _gen_row_candidates(srow_refs, u0, au, dv, dv1, rv, n_blocks, consume)
+    enumerate_candidates = (
+        _gen_band_candidates
+        if (variant or GEN_VARIANT) == "band"
+        else _gen_row_candidates
+    )
+    enumerate_candidates(srow_refs, u0, au, dv, dv1, rv, n_blocks, consume)
 
 
 def _gen_specs(B, C, Hp, Wp, pad_v):
@@ -476,7 +597,8 @@ def _gen_specs(B, C, Hp, Wp, pad_v):
     return srow_specs, tile_spec, ctile_spec
 
 
-def _gen_sample_chw_impl(src_chw, u, v, pad_v, emit_grad_aux=False):
+def _gen_sample_chw_impl(src_chw, u, v, pad_v, emit_grad_aux=False,
+                         variant=None):
     B, C, H, W = src_chw.shape
     Wp = -(-W // LANE) * LANE
     Hp = -(-H // TILE_ROWS) * TILE_ROWS
@@ -494,6 +616,7 @@ def _gen_sample_chw_impl(src_chw, u, v, pad_v, emit_grad_aux=False):
             pad_v=pad_v,
             Hp=Hp,
             emit_grad_aux=emit_grad_aux,
+            variant=variant,
         ),
         grid=(B, Hp // TILE_ROWS),
         in_specs=[*srow_specs, tile_spec, tile_spec],

@@ -186,6 +186,62 @@ class TestGeneralKernelInterpreted:
         assert float(jnp.abs(g).max()) == 0.0
 
 
+class TestBandVsRowCandidates:
+    """The per-offset ("band") candidate enumeration against the original
+    per-source-row one: same kernel contract, same taps in the same
+    accumulation order (v0 then v1 per output pixel) — outputs and
+    gradient factors agree to f32 ULP (the only difference is FMA/fusion
+    association across the two graph shapes; measured max 2.4e-7 on
+    unit-normal sources). Coordinates are driven DIRECTLY (not through
+    warp_coords) to hit the adversarial corners: whole-window vertical
+    spreads, top/bottom tile clipping, non-tile-aligned H/W,
+    block-crossing horizontal taps."""
+
+    TOL = dict(rtol=0, atol=1e-6)
+
+    def _coords(self, rng, B_, H_, W_, spread):
+        rows = np.broadcast_to(
+            np.arange(H_, dtype=np.float32)[None, :, None], (B_, H_, W_)
+        )
+        cols = np.broadcast_to(
+            np.arange(W_, dtype=np.float32)[None, None, :], (B_, H_, W_)
+        )
+        u = cols + rng.uniform(-40.0, 40.0, (B_, H_, W_)).astype(np.float32)
+        v = rows + rng.uniform(-spread, spread, (B_, H_, W_)).astype(np.float32)
+        return (
+            jnp.asarray(np.clip(u, 0.0, W_ - 1)),
+            jnp.asarray(np.clip(v, 0.0, H_ - 1)),
+        )
+
+    @pytest.mark.parametrize(
+        "B_,C_,H_,W_,pad_v,spread",
+        [
+            (1, 2, 24, 128, 8, 2.0),  # smooth flow (the production regime)
+            (1, 3, 24, 150, 8, 7.0),  # whole-window spread, ragged W
+            (2, 1, 20, 256, 8, 7.0),  # ragged H, batch, block-crossing u
+        ],
+    )
+    def test_forward_and_grad_aux_bit_exact(self, rng, B_, C_, H_, W_, pad_v, spread):
+        src = jnp.asarray(rng.normal(size=(B_, C_, H_, W_)), jnp.float32)
+        u, v = self._coords(rng, B_, H_, W_, spread)
+        o_r, s_r, d_r = warp_pallas._gen_sample_chw_impl(
+            src, u, v, pad_v, emit_grad_aux=True, variant="rows"
+        )
+        o_b, s_b, d_b = warp_pallas._gen_sample_chw_impl(
+            src, u, v, pad_v, emit_grad_aux=True, variant="band"
+        )
+        np.testing.assert_allclose(np.asarray(o_r), np.asarray(o_b), **self.TOL)
+        np.testing.assert_allclose(np.asarray(s_r), np.asarray(s_b), **self.TOL)
+        np.testing.assert_allclose(np.asarray(d_r), np.asarray(d_b), **self.TOL)
+
+    def test_forward_only_path_bit_exact(self, rng):
+        src = jnp.asarray(rng.normal(size=(1, 2, 24, 128)), jnp.float32)
+        u, v = self._coords(rng, 1, 24, 128, 6.0)
+        o_r = warp_pallas._gen_sample_chw_impl(src, u, v, 8, variant="rows")
+        o_b = warp_pallas._gen_sample_chw_impl(src, u, v, 8, variant="band")
+        np.testing.assert_allclose(np.asarray(o_r), np.asarray(o_b), **self.TOL)
+
+
 class TestChwEntryPointsInterpreted:
     """The CHW kernel surfaces (the layout the train loss graph uses —
     see ops.frozen_warp_chw) against the NHWC ones: same kernels, the
