@@ -177,9 +177,15 @@ def parse_trace(trace_dir: str) -> dict:
     cat_bytes: dict[str, float] = {}
     cat_flops: dict[str, float] = {}
     examples: dict[str, dict] = {}
-    stack: list = []  # (end_ts, event) of open enclosing events
+    # One interval stack PER (pid, tid) lane: events only nest within
+    # their own device lane; a shared stack would subtract a device-1
+    # op's time from whatever device-0 op happens to span it in wall
+    # time (single-device runs are unaffected, but parse_trace is used
+    # as a general tool).
+    stacks: dict = {}  # (pid, tid) -> [(end_ts, event), ...]
     for ev in ops:
         ts, dur, name = ev["ts"], ev["dur"], ev.get("name", "")
+        stack = stacks.setdefault((ev.get("pid"), ev.get("tid")), [])
         while stack and stack[-1][0] <= ts:
             stack.pop()
         if stack:
@@ -243,10 +249,13 @@ def warp_hbm_bytes(cfg, batch: int) -> float:
         # bwd grad(3) + src(3) + depth(1) -> d_src(3) + d_depth(1)
         total += hw * (8 + 11)
         if cfg.use_temporal:
+            # compute_losses runs the frozen temporal warp at EVERY
+            # scale; at the finest it is the fused C=19 RGB+feature warp
+            # when use_feature, else the plain C=3 warp
+            # (train/loop.py: `use_temporal and not (finest and
+            # use_feature)` plus the fused finest-scale feature path).
             finest = i == 0
             C = 19 if (finest and cfg.use_feature) else 3
-            if finest and not cfg.use_feature:
-                continue
             # frozen warp: fwd src(C)+depth -> out(C)+valid+factors(2);
             # bwd grad(C)+factors(2) -> d_depth(1)+d_twist-partials(~6)
             total += hw * ((2 * C + 4) + (C + 9))
@@ -340,8 +349,11 @@ def main(argv=None) -> int:
     ap.add_argument("--variant", default="full_feat")
     ap.add_argument("--steps", type=int, default=24,
                     help="timed dispatches per config (x8 scanned steps)")
-    ap.add_argument("--trace", action="store_true", default=True)
-    ap.add_argument("--no-trace", dest="trace", action="store_false")
+    # Tracing is on by default; --no-trace is the only switch (a
+    # store_true --trace alongside default=True would be a no-op flag).
+    ap.add_argument(
+        "--no-trace", dest="trace", action="store_false", default=True
+    )
     ap.add_argument("--loss-dtype-ab", action="store_true",
                     help="also measure the photometric region in bf16")
     args = ap.parse_args(argv)

@@ -127,12 +127,16 @@ class ExperimentConfig:
     edge_aware_smoothness: bool = True
     stereo_baseline: float = KITTI_STEREO_BASELINE
 
-    # Dtype of the photometric loss REGION (image pyramids, warps'
-    # image payloads, L1/SSIM/smoothness elementwise work). The geometry
-    # core (depth, twists, projections) and all loss accumulations stay
-    # f32 regardless — only the image-sized tensors change width. bf16
-    # halves their HBM traffic; measured effect on the train step is in
-    # PERF.md's roofline section (benchmarks/roofline.py --loss-dtype-ab).
+    # Dtype of the photometric loss REGION (image pyramids and the
+    # L1/SSIM/smoothness elementwise work). The geometry core (depth,
+    # twists, projections) and all loss accumulations stay f32
+    # regardless, and the Pallas warp kernels cast their image payloads
+    # back to f32 at entry (ops/warp_pallas.py) — so bf16 narrows ONLY
+    # the pyramid/elementwise traffic, not the warp kernels' (the
+    # dominant image-sized HBM share). Measured effect on the train
+    # step: a wash (PERF.md roofline section,
+    # benchmarks/roofline.py --loss-dtype-ab), consistent with that
+    # scope; f32 stays the default for its numerics.
     loss_dtype: str = "float32"
 
     # Static disparity bound (pixels, at full width) for the stereo warp

@@ -72,7 +72,11 @@ def initialize(
         num_processes = int(os.environ[_ENV_NUM_PROCESSES])
     if process_id is None and os.environ.get(_ENV_PROCESS_ID):
         process_id = int(os.environ[_ENV_PROCESS_ID])
-    explicit = coordinator is not None or num_processes is not None
+    explicit = (
+        coordinator is not None
+        or num_processes is not None
+        or process_id is not None
+    )
     if not explicit:
         # No cluster requested. Don't call jax.distributed.initialize()
         # blind: off-pod it raises, and on-pod auto-init is the
@@ -111,7 +115,8 @@ def is_coordinator() -> bool:
 
 
 def local_slice(batch: Dict[str, np.ndarray], pid: int | None = None,
-                n: int | None = None) -> Dict[str, np.ndarray]:
+                n: int | None = None,
+                divisor: int | None = None) -> Dict[str, np.ndarray]:
     """This process's contiguous slice of a globally-identical host batch.
 
     The multi-process data contract: every process constructs the SAME
@@ -122,22 +127,45 @@ def local_slice(batch: Dict[str, np.ndarray], pid: int | None = None,
     ``make_array_from_process_local_data`` over a process-major device
     mesh), and makes single- vs multi-process trajectories comparable
     sample-for-sample — the property ``tests/test_multiprocess.py``
-    asserts. Leaves whose leading axis doesn't divide (scalars, rank-0)
-    pass through whole, mirroring ``shard_batch``'s replication rule.
+    asserts.
+
+    Per-leaf rule — ONE predicate shared with ``mesh.shard_batch``: a
+    leaf is cut (and later data-sharded) iff its leading axis divides
+    ``divisor`` — the GLOBAL device count (``jax.device_count()``; the
+    multi-process mesh spans all global devices), exactly the
+    single-process sharding rule. Leaves that don't divide (scalars,
+    rank-0, odd-size aux arrays) pass through whole and are replicated
+    downstream. The one shape class the two sides cannot agree on from
+    local shapes alone — leading axis divisible by the PER-PROCESS
+    device count but not by the global one — raises loudly here:
+    ``shard_batch`` would misread the whole-passed leaf as a cut one and
+    silently assemble a corrupt global array (each process contributing
+    identical rows as if they were distinct shards).
     """
     pid = jax.process_index() if pid is None else pid
     n = jax.process_count() if n is None else n
     if n <= 1:
         return batch
+    divisor = jax.device_count() if divisor is None else divisor
+    local = max(1, divisor // n)
 
-    def cut(x):
+    def cut(key, x):
         x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n == 0:
+        if x.ndim >= 1 and x.shape[0] % divisor == 0:
             per = x.shape[0] // n
             return x[pid * per:(pid + 1) * per]
+        if x.ndim >= 1 and x.shape[0] % local == 0:
+            raise ValueError(
+                f"batch leaf {key!r} has leading axis {x.shape[0]}, which "
+                f"divides the per-process device count ({local}) but not "
+                f"the global one ({divisor}); downstream sharding cannot "
+                "distinguish this replicated leaf from a data-sharded "
+                "slice and would corrupt it silently. Pad it to a multiple "
+                f"of {divisor}, or carry it outside the batch."
+            )
         return x
 
-    return {k: cut(v) for k, v in batch.items()}
+    return {k: cut(k, v) for k, v in batch.items()}
 
 
 def local_batches(

@@ -113,7 +113,15 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     assembled via ``jax.make_array_from_process_local_data`` — each host
     only ever touches the rows its own chips consume. Requires the mesh's
     batch-axis device order to be process-contiguous, which ``make_mesh``
-    over ``jax.devices()`` (process-major) guarantees."""
+    over ``jax.devices()`` (process-major) guarantees.
+
+    Shard-vs-replicate is ONE predicate shared with
+    ``distributed.local_slice``: a leaf is data-sharded iff its GLOBAL
+    leading axis divides the global device count — locally visible here
+    as ``shape[0] % local == 0`` because ``local_slice`` already cut such
+    leaves by 1/nproc, and raised on the one shape class this local test
+    cannot distinguish (whole-passed leaves whose axis divides ``local``
+    but not ``mesh.size``)."""
     data = batch_sharding(mesh)
     repl = replicated(mesh)
     nproc = num_processes(mesh)

@@ -3,9 +3,17 @@
 bench.py is the one artifact the driver executes on real TPU hardware at
 round end; these tests cover its host-side logic (baseline lookup and the
 down-tunnel guard) without touching any backend.
+
+Guard design under test (2026-08-20): the whole benchmark runs in ONE
+guarded subprocess (DEPTHVO_BENCH_INNER=1) whose JSON line is forwarded
+verbatim — a separate cheap probe would pay the tunnel's one-time
+device-slot wait (measured ~5-6 min under pool contention) and then force
+the real run to pay it again, and a short probe timeout misreads a
+contended-but-alive tunnel as down.
 """
 
 import importlib.util
+import json
 import os
 import subprocess
 import sys
@@ -32,44 +40,65 @@ def test_baseline_fps_reads_measured_file(bench_mod):
     assert fps > 0
 
 
-def test_guard_skips_when_no_tunnel_plugin(bench_mod, monkeypatch):
-    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
-    monkeypatch.delenv("DEPTHVO_BENCH_CPU_FALLBACK", raising=False)
-
-    def _no_subprocess(*a, **k):  # pragma: no cover - would indicate a bug
-        raise AssertionError("probe must not run without the axon plugin")
-
-    monkeypatch.setattr(subprocess, "run", _no_subprocess)
-    assert bench_mod._ensure_reachable_backend() == ""
+class _Done:
+    def __init__(self, returncode=0, stdout=b"", stderr=b""):
+        self.returncode = returncode
+        self.stdout = stdout
+        self.stderr = stderr
 
 
-def test_guard_is_idempotent_after_fallback(bench_mod, monkeypatch):
-    # After the re-exec, the child must not probe (or exec) again.
-    monkeypatch.setenv("DEPTHVO_BENCH_CPU_FALLBACK", "1")
+def test_guarded_attempt_forwards_inner_json(bench_mod, monkeypatch, capsys):
+    inner = {"metric": "m", "value": 1.0}
+    captured = {}
+
+    def _run(argv, **kw):
+        captured["env"] = kw["env"]
+        captured["timeout"] = kw["timeout"]
+        return _Done(stdout=(json.dumps(inner) + "\n").encode())
+
+    monkeypatch.setattr(subprocess, "run", _run)
+    assert bench_mod._run_guarded_tpu_attempt() == ""
+    # The inner process must be marked so it benchmarks instead of re-guarding
+    # (which would recurse), and the guard must outlast the measured slot wait.
+    assert captured["env"]["DEPTHVO_BENCH_INNER"] == "1"
+    assert captured["timeout"] >= 600
+    assert json.loads(capsys.readouterr().out.strip()) == inner
+
+
+@pytest.mark.parametrize(
+    "outcome, note_match",
+    [
+        ("timeout", "timed_out"),
+        ("nonzero", "exited_rc_3"),
+        ("empty_stdout", "printed_no_output"),
+        ("not_json", "not_json"),
+    ],
+)
+def test_guarded_attempt_fails_closed(
+    bench_mod, monkeypatch, outcome, note_match
+):
+    def _run(argv, **kw):
+        if outcome == "timeout":
+            raise subprocess.TimeoutExpired(cmd="bench", timeout=1)
+        if outcome == "nonzero":
+            return _Done(returncode=3, stdout=b"{}")
+        if outcome == "empty_stdout":
+            return _Done(stdout=b"")
+        return _Done(stdout=b"tunnel wedged mid-print")
+
+    monkeypatch.setattr(subprocess, "run", _run)
+    # The note must name what actually failed — a benchmark crash with a
+    # healthy tunnel must not be reported as "tpu unreachable".
+    assert note_match in bench_mod._run_guarded_tpu_attempt()
+
+
+def test_main_execs_to_cpu_when_attempt_fails(bench_mod, monkeypatch):
     monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
-    note = bench_mod._ensure_reachable_backend()
-    assert note == "tpu_unreachable_fell_back_to_cpu"
-
-
-def test_guard_passes_through_when_probe_answers(bench_mod, monkeypatch):
-    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
     monkeypatch.delenv("DEPTHVO_BENCH_CPU_FALLBACK", raising=False)
-
-    class _Ok:
-        returncode = 0
-
-    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Ok())
-    assert bench_mod._ensure_reachable_backend() == ""
-
-
-def test_guard_execs_to_cpu_on_timeout(bench_mod, monkeypatch):
-    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
-    monkeypatch.delenv("DEPTHVO_BENCH_CPU_FALLBACK", raising=False)
-
-    def _timeout(*a, **k):
-        raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
-
-    monkeypatch.setattr(subprocess, "run", _timeout)
+    monkeypatch.delenv("DEPTHVO_BENCH_INNER", raising=False)
+    monkeypatch.setattr(
+        bench_mod, "_run_guarded_tpu_attempt", lambda: "tpu_attempt_timed_out"
+    )
     captured = {}
 
     def _fake_execve(path, argv, env):
@@ -78,9 +107,78 @@ def test_guard_execs_to_cpu_on_timeout(bench_mod, monkeypatch):
 
     monkeypatch.setattr(os, "execve", _fake_execve)
     with pytest.raises(SystemExit):
-        bench_mod._ensure_reachable_backend()
+        bench_mod.main()
     env = captured["env"]
     assert "PALLAS_AXON_POOL_IPS" not in env
     assert env["JAX_PLATFORMS"] == "cpu"
     assert env["JAX_PLATFORM_NAME"] == "cpu"
-    assert env["DEPTHVO_BENCH_CPU_FALLBACK"] == "1"
+    assert (
+        env["DEPTHVO_BENCH_CPU_FALLBACK"]
+        == "tpu_attempt_timed_out_fell_back_to_cpu"
+    )
+
+
+def _stub_run_benchmark(monkeypatch, calls):
+    from depthvo_tpu.utils import profiling
+
+    def _fake(**kw):
+        calls.append(kw)
+        return {
+            "frames_per_sec": 100.0,
+            "backend": "stub",
+            "device": "stub:0",
+            "batch_size": kw["batch_size"],
+            "median_s": 0.01,
+        }
+
+    monkeypatch.setattr(profiling, "run_benchmark", _fake)
+
+
+def test_main_inner_mode_benchmarks_without_reguarding(
+    bench_mod, monkeypatch, capsys
+):
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    monkeypatch.setenv("DEPTHVO_BENCH_INNER", "1")
+    monkeypatch.delenv("DEPTHVO_BENCH_CPU_FALLBACK", raising=False)
+
+    def _no_subprocess(*a, **k):  # pragma: no cover - would indicate a bug
+        raise AssertionError("inner mode must not spawn another guard")
+
+    monkeypatch.setattr(subprocess, "run", _no_subprocess)
+    calls = []
+    _stub_run_benchmark(monkeypatch, calls)
+    assert bench_mod.main() == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert calls[0]["batch_size"] == 128  # full TPU workload, not the CPU cut
+    assert "note" not in out["detail"]
+
+
+def test_main_cpu_fallback_notes_and_shrinks(bench_mod, monkeypatch, capsys):
+    # After the re-exec the child must benchmark on CPU (small workload)
+    # and stamp the fallback note — and must not guard or exec again.
+    monkeypatch.setenv("DEPTHVO_BENCH_CPU_FALLBACK", "1")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    monkeypatch.setattr(
+        os, "execve", lambda *a: (_ for _ in ()).throw(AssertionError("exec"))
+    )
+    calls = []
+    _stub_run_benchmark(monkeypatch, calls)
+    assert bench_mod.main() == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert calls[0]["batch_size"] == 4
+    assert out["detail"]["note"] == "tpu_unreachable_fell_back_to_cpu"
+
+
+def test_main_no_tunnel_plugin_runs_directly(bench_mod, monkeypatch, capsys):
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.delenv("DEPTHVO_BENCH_CPU_FALLBACK", raising=False)
+    monkeypatch.delenv("DEPTHVO_BENCH_INNER", raising=False)
+
+    def _no_subprocess(*a, **k):  # pragma: no cover - would indicate a bug
+        raise AssertionError("guard must not run without the axon plugin")
+
+    monkeypatch.setattr(subprocess, "run", _no_subprocess)
+    calls = []
+    _stub_run_benchmark(monkeypatch, calls)
+    assert bench_mod.main() == 0
+    assert json.loads(capsys.readouterr().out.strip())["value"] == 100.0

@@ -74,6 +74,34 @@ def _run_cluster(nproc: int, local_devices: int, outdir: str,
         return json.load(f)
 
 
+def test_local_slice_contract():
+    """local_slice shares shard_batch's divisibility predicate: cut iff
+    the GLOBAL leading axis divides the global device count; whole-pass
+    (replicate) otherwise; and raise loudly on the one shape class the
+    downstream local-shape test cannot distinguish from a cut slice."""
+    from depthvo_tpu.parallel import distributed as dist
+
+    batch = {
+        "x": np.arange(8.0).reshape(8, 1),   # 8 % 4 == 0 -> cut
+        "odd": np.arange(3.0),               # 3 % 4 != 0, 3 % 2 != 0 -> whole
+        "s": np.float32(2.0),                # rank-0 -> whole
+    }
+    out = dist.local_slice(batch, pid=1, n=2, divisor=4)
+    np.testing.assert_array_equal(out["x"], batch["x"][4:8])
+    np.testing.assert_array_equal(out["odd"], batch["odd"])
+    assert out["s"] == batch["s"]
+
+    # Leading axis divides local (4//2=2) but not global (4): previously
+    # cut silently -> shard_batch assembled a corrupt 'replicated' array;
+    # now a loud contract error.
+    with pytest.raises(ValueError, match="divides the per-process"):
+        dist.local_slice({"half": np.zeros((2, 3))}, pid=0, n=2, divisor=4)
+    # Dual case: divides nproc but neither global nor local cleanly ->
+    # also ambiguous downstream (6 % 2 == 0 local-test passes) -> raise.
+    with pytest.raises(ValueError, match="divides the per-process"):
+        dist.local_slice({"six": np.zeros((6, 3))}, pid=0, n=2, divisor=4)
+
+
 def test_two_process_trajectory_matches_single_process(tmp_path):
     """1 process x 4 devices == 2 processes x 2 devices: same global
     batch, same SPMD program, so the optimizer trajectories must agree
