@@ -17,11 +17,32 @@ import subprocess
 import sys
 
 CAFFE_CPU_FPS_FALLBACK = 4.0  # generous single-core Caffe-CPU estimate
+
+
+def _env_int(name: str, default: int) -> int:
+    """Parse an int env override; a malformed value falls back instead of
+    raising at import time (the driver must ALWAYS get its JSON line —
+    an exception here would defeat the guard this file exists to be)."""
+    try:
+        return int(os.environ.get(name, str(default)))
+    except ValueError:
+        sys.stderr.write(
+            f"bench: ignoring malformed {name}={os.environ[name]!r}, "
+            f"using {default}\n"
+        )
+        return default
+
+
 # A healthy tunnel answers the first op in ~10 s, but under pool contention
 # the one-time device-slot acquisition was MEASURED at ~5-6 min (2026-08-20;
 # subsequent dispatches 30-70 ms). The guarded attempt must outlast that
 # wait, which is paid exactly once per process.
-_TUNNEL_TIMEOUT_S = int(os.environ.get("DEPTHVO_BENCH_TUNNEL_TIMEOUT_S", "900"))
+_TUNNEL_TIMEOUT_S = _env_int("DEPTHVO_BENCH_TUNNEL_TIMEOUT_S", 900)
+# Round 4 showed TWO distinct failure modes behind one symptom: a truly
+# down tunnel, and a healthy tunnel whose slot wait + compile blew the
+# budget under transient host contention. One retry distinguishes them
+# cheaply before conceding to the CPU fallback.
+_BENCH_RETRIES = _env_int("DEPTHVO_BENCH_RETRIES", 1)
 TARGET_MULTIPLIER = 5.0
 _BASELINE_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "benchmarks", "cpu_baseline.json"
@@ -38,7 +59,7 @@ def _baseline_fps() -> tuple:
         return CAFFE_CPU_FPS_FALLBACK, "estimate"
 
 
-def _run_guarded_tpu_attempt() -> str:
+def _run_guarded_tpu_attempt(annotate: dict | None = None) -> str:
     """Run the full benchmark through the tunnel in one guarded subprocess.
 
     The axon plugin (registered whenever PALLAS_AXON_POOL_IPS is set) BLOCKS
@@ -75,10 +96,16 @@ def _run_guarded_tpu_attempt() -> str:
     if not line:
         return "tpu_benchmark_printed_no_output"
     try:
-        json.loads(line[-1])
+        parsed = json.loads(line[-1])
     except ValueError:
         return "tpu_benchmark_output_not_json"
-    print(line[-1])
+    if annotate and isinstance(parsed.get("detail"), dict):
+        # A retried success records how many attempts it took, so the
+        # driver artifact distinguishes "first try" from "recovered".
+        parsed["detail"].update(annotate)
+        print(json.dumps(parsed))
+    else:
+        print(line[-1])
     return ""
 
 
@@ -92,6 +119,14 @@ def main() -> int:
         "DEPTHVO_BENCH_INNER"
     ):
         why = _run_guarded_tpu_attempt()
+        attempt = 1
+        while why and attempt <= _BENCH_RETRIES:
+            attempt += 1
+            sys.stderr.write(
+                f"bench: TPU attempt {attempt - 1} failed ({why}); "
+                f"retrying ({attempt}/{1 + _BENCH_RETRIES})\n"
+            )
+            why = _run_guarded_tpu_attempt(annotate={"tpu_attempts": attempt})
         if not why:
             return 0
         # Tunnel attempt failed/hung: re-exec pinned to the CPU backend so
@@ -108,6 +143,19 @@ def main() -> int:
         raise RuntimeError("unreachable")  # pragma: no cover
 
     from depthvo_tpu.utils.profiling import run_benchmark
+
+    # Time the one-per-process device-slot acquisition explicitly (first
+    # tiny op end-to-end): when a round-end number falls back or runs
+    # slow, the JSON says whether the tunnel wait or the benchmark itself
+    # ate the budget (VERDICT r4 item 4).
+    import time as _time
+
+    _t0 = _time.time()
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    _jax.block_until_ready(_jnp.zeros(()) + 1)
+    slot_acquire_s = round(_time.time() - _t0, 1)
 
     # Batch 128: measured throughput knee on v5e-1 (32 -> 1.9k fps,
     # 128 -> 5.0k fps, 256 -> 5.3k fps); latency still under 26 ms/batch.
@@ -132,6 +180,7 @@ def main() -> int:
             "device": result["device"],
             "batch_size": result["batch_size"],
             "median_step_s": result["median_s"],
+            "device_acquire_s": slot_acquire_s,
             "baseline_fps": base_fps,
             "baseline_source": base_src,
         },

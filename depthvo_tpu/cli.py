@@ -392,9 +392,9 @@ def cmd_train(args) -> int:
         # process built the SAME deterministic iterator above; each now
         # keeps only its slice of each global batch, and shard_batch
         # assembles the global array from the process-local pieces.
-        it = dist.local_batches(it)
+        it = dist.local_batches(it, divisor=mesh.size)
         if eval_it is not None:
-            eval_it = dist.local_batches(eval_it)
+            eval_it = dist.local_batches(eval_it, divisor=mesh.size)
 
     from depthvo_tpu.utils.logging import MetricLogger
 
@@ -1136,6 +1136,7 @@ def cmd_zoo(args) -> int:
             report = zoo.check_parity(
                 measured, variant=args.variant_name, rtol=args.rtol,
                 int8=getattr(args, "int8", False),
+                trust_split=getattr(args, "trust_split", False),
             )
         for row in report["rows"]:
             if row["status"] == "missing":
@@ -1601,6 +1602,13 @@ def main(argv=None) -> int:
                         "--int8) and widens the tolerance by the "
                         "declared serving budget (+3%% rel, from "
                         "benchmarks/int8_ab.py)")
+    p.add_argument("--trust-split", action="store_true",
+                   help="accept an unpinned canonical-split claim on "
+                        "operator trust: the gate proceeds but the report "
+                        "records split_trusted_unpinned and the split's "
+                        "sha256 (default: refuse, printing the exact "
+                        "commands to pin the canonical Eigen-697 list on "
+                        "a networked machine)")
     p.set_defaults(fn=cmd_zoo)
 
     p = sub.add_parser("bench", help="throughput benchmark (reference: caffe time)")

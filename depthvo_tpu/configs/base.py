@@ -56,6 +56,11 @@ class ModelConfig:
     # HBM — the FLOPs-for-memory trade that raises the per-chip batch
     # ceiling (models/depth_net.py).
     remat: bool = False
+    # DepthNet decoder widths, coarsest->finest. The finest entries are
+    # the channel-padding lever for the VPU-bound full-resolution conv
+    # backward (benchmarks/conv_levers.py measures the trade): wider
+    # tiles fill MXU/VPU lanes better per byte but add FLOPs.
+    decoder_features: Tuple[int, ...] = (256, 128, 64, 32, 16)
 
     @property
     def image_shape(self) -> Tuple[int, int, int]:

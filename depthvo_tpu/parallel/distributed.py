@@ -40,6 +40,7 @@ import numpy as np
 _ENV_COORDINATOR = "DEPTHVO_COORDINATOR"
 _ENV_NUM_PROCESSES = "DEPTHVO_NUM_PROCESSES"
 _ENV_PROCESS_ID = "DEPTHVO_PROCESS_ID"
+_ENV_INIT_TIMEOUT = "DEPTHVO_MP_INIT_TIMEOUT_S"
 
 _initialized = False
 
@@ -49,6 +50,7 @@ def initialize(
     num_processes: int | None = None,
     process_id: int | None = None,
     local_device_ids: Any = None,
+    initialization_timeout: int | None = None,
 ) -> bool:
     """Join the distributed runtime; returns True if it initialized.
 
@@ -90,11 +92,17 @@ def initialize(
             f"--num-processes/--process-id or the {_ENV_COORDINATOR}/"
             f"{_ENV_NUM_PROCESSES}/{_ENV_PROCESS_ID} environment"
         )
+    if initialization_timeout is None:
+        try:
+            initialization_timeout = int(os.environ[_ENV_INIT_TIMEOUT])
+        except (KeyError, ValueError):
+            initialization_timeout = 300  # jax's own default
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
         process_id=process_id,
         local_device_ids=local_device_ids,
+        initialization_timeout=initialization_timeout,
     )
     _initialized = True
     return True
@@ -155,12 +163,20 @@ def local_slice(batch: Dict[str, np.ndarray], pid: int | None = None,
             per = x.shape[0] // n
             return x[pid * per:(pid + 1) * per]
         if x.ndim >= 1 and x.shape[0] % local == 0:
+            hint = (
+                "With one device per process every nonzero leading axis "
+                "trivially divides the per-process count, so replication "
+                "of odd-size batched leaves is not expressible in that "
+                "layout; pad it "
+                if local == 1
+                else "Pad it "
+            )
             raise ValueError(
                 f"batch leaf {key!r} has leading axis {x.shape[0]}, which "
                 f"divides the per-process device count ({local}) but not "
                 f"the global one ({divisor}); downstream sharding cannot "
                 "distinguish this replicated leaf from a data-sharded "
-                "slice and would corrupt it silently. Pad it to a multiple "
+                f"slice and would corrupt it silently. {hint}to a multiple "
                 f"of {divisor}, or carry it outside the batch."
             )
         return x
@@ -170,9 +186,17 @@ def local_slice(batch: Dict[str, np.ndarray], pid: int | None = None,
 
 def local_batches(
     it: Iterator[Dict[str, np.ndarray]],
+    divisor: int | None = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Wrap a deterministic global-batch iterator to yield this
     process's slice (see :func:`local_slice`). No-op wrapper under a
-    single process."""
+    single process.
+
+    ``divisor`` is the size of the mesh the batches will be sharded
+    onto. Pass ``mesh.size`` whenever training runs on a subset mesh
+    (``cli train --num-devices < jax.device_count()``): the default,
+    the global device count, only matches meshes spanning every device,
+    and the shared cut-iff-divides predicate silently diverges from
+    ``mesh.shard_batch`` otherwise."""
     for batch in it:
-        yield local_slice(batch)
+        yield local_slice(batch, divisor=divisor)

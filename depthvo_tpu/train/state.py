@@ -179,6 +179,7 @@ def build_models(config: ExperimentConfig, depth_quant: str = "off"):
         fast_final_upsample=mc.fast_final_upsample,
         subpixel_head=mc.subpixel_head,
         remat=mc.remat,
+        decoder_features=tuple(mc.decoder_features),
         quant_mode=depth_quant,
     )
     odom = OdomNet(compute_dtype=dt)

@@ -116,11 +116,29 @@ def _compare_metrics(published: Dict[str, float], measured: Dict[str, Any], rtol
     return rows, ok
 
 
+# The exact flow a user runs on a NETWORKED machine to pin the canonical
+# Eigen-697 split (this machine has zero egress, so the known-good digest
+# cannot be derived here — VERDICT r4 item 7). The widely-mirrored
+# canonical frame list is the one shipped in the monodepth repo (697
+# lines, the Eigen NIPS'14 test split every published table uses).
+CANONICAL_SPLIT_PIN_HOWTO = (
+    "# On a machine with network access:\n"
+    "curl -fsSL https://raw.githubusercontent.com/mrharicot/monodepth/"
+    "master/utils/filenames/eigen_test_files.txt -o eigen_test_files.txt\n"
+    "test \"$(wc -l < eigen_test_files.txt)\" = 697  # canonical length\n"
+    "depthvo prep-eigen --kitti-root <KITTI_RAW> --split-file "
+    "eigen_test_files.txt --output-dir <OUT>\n"
+    "sha256sum <OUT>/eigen_list.txt   # pass to: eval-depth --split-sha "
+    "<digest>"
+)
+
+
 def check_parity(
     measured: Dict[str, Any],
     variant: str = "full_nyuv2",
     rtol: float | None = None,
     int8: bool = False,
+    trust_split: bool = False,
 ) -> Dict[str, Any]:
     """Compare measured eval-depth metrics against a zoo row.
 
@@ -133,6 +151,14 @@ def check_parity(
     declare ``quant: "int8"`` (written by ``eval-depth --int8``), and the
     row tolerance widens by :data:`INT8_EXTRA_RTOL` — published + the
     declared serving degradation budget.
+
+    ``trust_split=True`` is the explicit escape hatch for the unpinned-
+    canonical refusal: the gate proceeds, but the report carries
+    ``split_trusted_unpinned: True`` and a loud warning naming the
+    split's hash, so the provenance records that the canonical claim
+    rests on operator trust rather than a pinned digest. The report
+    always includes ``pin_howto`` (:data:`CANONICAL_SPLIT_PIN_HOWTO`)
+    whenever the pin is missing.
     """
     entry = ZOO[variant]
     published = entry["depth_metrics"]
@@ -175,13 +201,30 @@ def check_parity(
         # be verified here, so the gate requires the operator to have
         # pinned it (`eval-depth --split-sha <sha256>`) — VERDICT r3
         # item 8. The hash travels in the provenance for later audit.
-        report["warning"] = (
-            "split claims canonical but its SHA-256 was never pinned "
-            "(re-run eval-depth with --split-sha "
-            f"{split.get('sha256', '<hash>')} after verifying the file) "
-            "— refusing the canonical claim"
-        )
-        report["parity"] = False
+        report["pin_howto"] = CANONICAL_SPLIT_PIN_HOWTO
+        if trust_split:
+            # Loud escape (VERDICT r4 item 7): gate proceeds, provenance
+            # says exactly what was taken on trust.
+            report["split_trusted_unpinned"] = True
+            report["warning"] = (
+                "canonical-split claim accepted ON TRUST (--trust-split): "
+                f"file sha256={split.get('sha256', '<hash>')} was never "
+                "pinned against a verified canonical Eigen-697 list. This "
+                "parity verdict is only as good as that file. Pin it "
+                "properly on a networked machine (see pin_howto) and "
+                "re-run with eval-depth --split-sha."
+            )
+        else:
+            report["warning"] = (
+                "split claims canonical but its SHA-256 was never pinned "
+                "(re-run eval-depth with --split-sha "
+                f"{split.get('sha256', '<hash>')} after verifying the "
+                "file, or pass --trust-split to proceed on operator "
+                "trust) — refusing the canonical claim. To obtain and "
+                "pin the canonical list on a networked machine:\n"
+                + CANONICAL_SPLIT_PIN_HOWTO
+            )
+            report["parity"] = False
     return report
 
 

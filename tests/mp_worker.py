@@ -1,13 +1,19 @@
 """Multi-process worker for tests/test_multiprocess.py — NOT a pytest file.
 
 Run as ``python tests/mp_worker.py PID NPROC PORT LOCAL_DEVICES OUTDIR
-STEPS STEPS_PER_CALL``: joins a local jax.distributed cluster over the
-CPU backend (Gloo collectives), trains ``tiny_test`` on deterministic
-synthetic scenes through the REAL production path (cli-equivalent:
-``distributed.initialize`` -> ``local_batches`` -> ``fit`` with orbax
-checkpointing), then restores the checkpoint and writes a JSON record of
-the loss trajectory + a params fingerprint for the parent test to
-compare across process counts.
+STEPS STEPS_PER_CALL [BATCH_SIZE]``: joins a local jax.distributed
+cluster over the CPU backend (Gloo collectives), trains ``tiny_test`` on
+deterministic synthetic scenes through the REAL production path
+(cli-equivalent: ``distributed.initialize`` -> ``local_batches`` ->
+``fit`` with orbax checkpointing), then restores the checkpoint and
+writes a JSON record of the loss trajectory + a params fingerprint for
+the parent test to compare across process counts.
+
+BATCH_SIZE defaults to the cluster shape: ``max(4, nproc *
+local_devices)`` — the global batch must divide the GLOBAL device count
+(parallel/distributed.py's divisibility contract), so a hard-coded 4
+breaks any cluster with more than 4 global devices (the round-4 bug: the
+driver's 2x4 dryrun raised while every 4-global-device CI shape passed).
 """
 
 import json
@@ -20,6 +26,10 @@ def main() -> int:
     outdir = sys.argv[5]
     steps = int(sys.argv[6])
     steps_per_call = int(sys.argv[7]) if len(sys.argv) > 7 else 1
+    batch_size = (
+        int(sys.argv[8]) if len(sys.argv) > 8
+        else max(4, nproc * local_devices)
+    )
 
     import jax
 
@@ -43,7 +53,7 @@ def main() -> int:
     from depthvo_tpu.parallel import mesh as pmesh
     from depthvo_tpu.train import loop as train_loop
 
-    cfg = configs.tiny_test(batch_size=4)
+    cfg = configs.tiny_test(batch_size=batch_size)
     mesh = pmesh.make_mesh()  # all global devices
     assert mesh.size == nproc * local_devices
 
@@ -54,7 +64,8 @@ def main() -> int:
     it = dist.local_batches(
         SyntheticScenes(cfg, seed=7, num_scenes=4).iterator(
             cfg.batch_size, fixed=True
-        )
+        ),
+        divisor=mesh.size,
     )
 
     losses = []

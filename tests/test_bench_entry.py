@@ -96,8 +96,11 @@ def test_main_execs_to_cpu_when_attempt_fails(bench_mod, monkeypatch):
     monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
     monkeypatch.delenv("DEPTHVO_BENCH_CPU_FALLBACK", raising=False)
     monkeypatch.delenv("DEPTHVO_BENCH_INNER", raising=False)
+    attempts = []
     monkeypatch.setattr(
-        bench_mod, "_run_guarded_tpu_attempt", lambda: "tpu_attempt_timed_out"
+        bench_mod,
+        "_run_guarded_tpu_attempt",
+        lambda annotate=None: attempts.append(annotate) or "tpu_attempt_timed_out",
     )
     captured = {}
 
@@ -108,6 +111,10 @@ def test_main_execs_to_cpu_when_attempt_fails(bench_mod, monkeypatch):
     monkeypatch.setattr(os, "execve", _fake_execve)
     with pytest.raises(SystemExit):
         bench_mod.main()
+    # Default retry policy: 1 retry -> 2 total attempts before conceding,
+    # so a transiently contended (not down) tunnel gets a second chance.
+    assert len(attempts) == 1 + bench_mod._BENCH_RETRIES == 2
+    assert attempts[1] == {"tpu_attempts": 2}
     env = captured["env"]
     assert "PALLAS_AXON_POOL_IPS" not in env
     assert env["JAX_PLATFORMS"] == "cpu"
@@ -116,6 +123,54 @@ def test_main_execs_to_cpu_when_attempt_fails(bench_mod, monkeypatch):
         env["DEPTHVO_BENCH_CPU_FALLBACK"]
         == "tpu_attempt_timed_out_fell_back_to_cpu"
     )
+
+
+def test_main_retry_succeeds_without_fallback(bench_mod, monkeypatch):
+    """First attempt fails, retry lands: no exec-to-CPU, exit 0."""
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    monkeypatch.delenv("DEPTHVO_BENCH_CPU_FALLBACK", raising=False)
+    monkeypatch.delenv("DEPTHVO_BENCH_INNER", raising=False)
+    outcomes = ["tpu_attempt_timed_out_after_900s", ""]
+    calls = []
+
+    def _fake_attempt(annotate=None):
+        calls.append(annotate)
+        return outcomes[len(calls) - 1]
+
+    monkeypatch.setattr(bench_mod, "_run_guarded_tpu_attempt", _fake_attempt)
+    monkeypatch.setattr(
+        os, "execve",
+        lambda *a: (_ for _ in ()).throw(AssertionError("must not fall back")),
+    )
+    assert bench_mod.main() == 0
+    assert calls == [None, {"tpu_attempts": 2}]
+
+
+def test_guarded_attempt_annotates_retried_success(
+    bench_mod, monkeypatch, capsys
+):
+    """A retried success stamps tpu_attempts into the forwarded detail."""
+    inner = {"metric": "m", "value": 1.0, "detail": {"backend": "tpu"}}
+
+    monkeypatch.setattr(
+        subprocess, "run",
+        lambda argv, **kw: _Done(stdout=(json.dumps(inner) + "\n").encode()),
+    )
+    assert bench_mod._run_guarded_tpu_attempt(annotate={"tpu_attempts": 2}) == ""
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["detail"]["tpu_attempts"] == 2
+    assert out["detail"]["backend"] == "tpu"
+    assert out["value"] == 1.0
+
+
+def test_env_int_falls_back_on_malformed_value(bench_mod, monkeypatch, capsys):
+    """A malformed env override must not raise at import time — that
+    would deny the driver its JSON line, the exact failure the guard
+    exists to prevent (ADVICE r4)."""
+    monkeypatch.setenv("DEPTHVO_BENCH_TUNNEL_TIMEOUT_S", "15min")
+    assert bench_mod._env_int("DEPTHVO_BENCH_TUNNEL_TIMEOUT_S", 900) == 900
+    monkeypatch.setenv("DEPTHVO_BENCH_TUNNEL_TIMEOUT_S", "120")
+    assert bench_mod._env_int("DEPTHVO_BENCH_TUNNEL_TIMEOUT_S", 900) == 120
 
 
 def _stub_run_benchmark(monkeypatch, calls):

@@ -5,21 +5,16 @@ scenes with exact ground truth: stereo self-supervision grounds METRIC
 scale, so (a) learned depth correlates with true depth and (b) the
 odometry head recovers the true metric translation (Zhan et al. §1).
 
-Gated behind DEPTHVO_SLOW_TESTS=1 (several minutes of CPU training);
-run explicitly: ``DEPTHVO_SLOW_TESTS=1 pytest tests/test_metric_learning.py``.
+In the `slow` lane (several minutes of CPU training): deselected from
+the default run by pyproject's addopts, run with ``pytest -m slow``.
 The same checks ran on the real chip with the full model (400 steps:
 depth abs_rel 0.088, log-corr 0.966; pose translation within 5%).
 """
 
-import os
-
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
-    not os.environ.get("DEPTHVO_SLOW_TESTS"),
-    reason="slow integration test (set DEPTHVO_SLOW_TESTS=1)",
-)
+pytestmark = pytest.mark.slow
 
 
 def test_odometry_learns_metric_translation():

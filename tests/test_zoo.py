@@ -174,3 +174,52 @@ def test_unpinned_canonical_claim_is_refused():
 
     measured["split"]["pinned"] = True
     assert zoo.check_parity(measured, "full_nyuv2")["parity"]
+
+
+def test_trust_split_escape_is_loud():
+    """VERDICT r4 item 7: --trust-split lets an unpinned canonical claim
+    through the gate, but the report must record the trust decision and
+    the file hash, and must always ship the networked pin recipe."""
+    measured = _published()
+    measured["split"] = {
+        "canonical": True, "n_frames": 697,
+        "sha256": "cd" * 32, "pinned": False,
+    }
+    refused = zoo.check_parity(measured, "full_nyuv2")
+    assert not refused["parity"]
+    # The refusal prints the exact one-liner flow for a networked machine.
+    assert "pin_howto" in refused
+    assert "eigen_test_files.txt" in refused["pin_howto"]
+    assert "sha256sum" in refused["pin_howto"]
+    assert "curl" in refused["warning"] or "eigen_test_files" in refused["warning"]
+
+    trusted = zoo.check_parity(measured, "full_nyuv2", trust_split=True)
+    assert trusted["parity"]  # gate proceeds...
+    assert trusted["split_trusted_unpinned"] is True  # ...on the record
+    assert "cd" * 32 in trusted["warning"]
+    assert "TRUST" in trusted["warning"]
+    assert "pin_howto" in trusted
+
+    # A pinned run must NOT carry the trust markers.
+    measured["split"]["pinned"] = True
+    pinned = zoo.check_parity(measured, "full_nyuv2", trust_split=True)
+    assert pinned["parity"]
+    assert "split_trusted_unpinned" not in pinned
+    assert "pin_howto" not in pinned
+
+
+def test_cli_zoo_check_trust_split_flag(tmp_path, capsys):
+    from depthvo_tpu import cli
+
+    measured = _published()
+    measured["split"] = {
+        "canonical": True, "n_frames": 697,
+        "sha256": "ef" * 32, "pinned": False,
+    }
+    path = tmp_path / "unpinned.json"
+    path.write_text(json.dumps(measured))
+    assert cli.main(["zoo", "--check", str(path)]) == 1
+    capsys.readouterr()
+    assert cli.main(["zoo", "--check", str(path), "--trust-split"]) == 0
+    out = capsys.readouterr().out
+    assert "ON TRUST" in out
