@@ -54,6 +54,10 @@ VARIANTS = {
     "chanpad_64_32": {"decoder_features": (256, 128, 64, 64, 32)},
     "subpixel_head": {"subpixel_head": True},
     "fast_final": {"fast_final_upsample": True},
+    # Exact rewrite (same params/math): finest-stage convs at half res
+    # with 4x channels via structured kernels — models/depth_net.py
+    # _s2d_finest_stage, equivalence-tested in tests/test_models.py.
+    "s2d_finest": {"s2d_finest": True},
 }
 
 

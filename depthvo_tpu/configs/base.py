@@ -51,6 +51,11 @@ class ModelConfig:
     # Subpixel (depth-to-space) final head: per-output-pixel learned
     # upsampling with the same full-res-conv savings (models/depth_net.py).
     subpixel_head: bool = False
+    # Exact space-to-depth rewrite of the finest decoder stage: same
+    # params and math as the standard stage, but the full-res 3x3 convs
+    # run at half resolution with 4x channels (MXU-tileable fwd+bwd) —
+    # the conv-backward lever measured in benchmarks/conv_levers.py.
+    s2d_finest: bool = False
     # Rematerialize DepthNet stages under AD (jax.checkpoint): recompute
     # in-stage activations in the backward instead of holding them in
     # HBM — the FLOPs-for-memory trade that raises the per-chip batch
@@ -242,7 +247,10 @@ def from_dict(d: dict) -> ExperimentConfig:
 
     kwargs = pick(ExperimentConfig, d)
     if isinstance(kwargs.get("model"), dict):
-        kwargs["model"] = ModelConfig(**pick(ModelConfig, kwargs["model"]))
+        mk = pick(ModelConfig, kwargs["model"])
+        if "decoder_features" in mk:  # JSON arrays decode as lists
+            mk["decoder_features"] = tuple(mk["decoder_features"])
+        kwargs["model"] = ModelConfig(**mk)
     if isinstance(kwargs.get("optim"), dict):
         ok = pick(OptimConfig, kwargs["optim"])
         if "lr_step_values" in ok:  # JSON arrays decode as lists

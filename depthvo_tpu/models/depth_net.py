@@ -60,6 +60,14 @@ class DepthNet(nn.Module):
     # activation memory that otherwise caps per-chip batch size (the
     # measured MFU lever — PERF.md batch-size scaling table).
     remat: bool = False
+    # Space-to-depth rewrite of the finest decoder stage: the full-res
+    # 3x3 convs (UpConv_4 / ConvBlock_5 / disp head — the conv-backward
+    # hot spot, PERF.md per-layer table) run as half-res 4x-channel
+    # convs with structured kernels. SAME parameters (checkpoint
+    # bit-compatible with the standard stage), same function up to float
+    # reassociation — only the XLA program changes (layers.py
+    # s2d_conv_kernel note). Benchmarked in benchmarks/conv_levers.py.
+    s2d_finest: bool = False
     # w8a8 int8 serving (v5e int8 MXU rate is 2x bf16): "off" for
     # training/default serving, "calibrate" to record activation scales
     # (apply with mutable=["quant"]), "int8" to run the quantized convs.
@@ -114,11 +122,21 @@ class DepthNet(nn.Module):
         x = skips[-1]
         n_up = len(self.decoder_features)
         last_stage = n_up - 1
-        if self.fast_final_upsample and self.subpixel_head:
+        if sum((self.fast_final_upsample, self.subpixel_head,
+                self.s2d_finest)) > 1:
             raise ValueError(
-                "fast_final_upsample and subpixel_head are exclusive"
+                "fast_final_upsample, subpixel_head and s2d_finest are "
+                "mutually exclusive finest-stage modes"
+            )
+        if self.s2d_finest and q != "off":
+            raise ValueError(
+                "s2d_finest is a training-graph lever; int8 serving uses "
+                "the standard or subpixel head (quant_mode must be 'off')"
             )
         for i, feats in enumerate(self.decoder_features):
+            if self.s2d_finest and i == last_stage:
+                disps.append(self._s2d_finest_stage(x, feats))
+                break
             if self.subpixel_head and i == last_stage:
                 # Subpixel head: 4 bounded logits per 1/2-res pixel ->
                 # depth_to_space(2) -> full-res inverse depth. The convs
@@ -173,6 +191,64 @@ class DepthNet(nn.Module):
                 )
                 disps.append(disp)
         return disps
+
+    def _s2d_finest_stage(self, x, feats):
+        """The finest decoder stage (upsample+conv, conv, disp head) as
+        half-resolution space-to-depth convolutions — exact same math and
+        parameter tree as the standard stage (layers.py s2d note), but
+        every conv fwd/bwd runs at (H/2, W/2) with 4x channels, the
+        shapes XLA tiles onto the MXU."""
+        from jax import lax
+
+        from depthvo_tpu.models.layers import (
+            _ConvBlockParams,
+            _ConvParams,
+            _UpConvParams,
+            depth_to_space2,
+            s2d_conv_kernel,
+            s2d_upconv_kernel,
+            tile_phase_bias,
+        )
+
+        dt = self.compute_dtype
+        last = len(self.decoder_features) - 1
+        dn = ("NHWC", "HWIO", "NHWC")
+        # Param shells carry the STANDARD stage's names/shapes/init, so
+        # checkpoints are interchangeable between the two modes.
+        kup, bup = _UpConvParams(
+            (3, 3, x.shape[-1], feats), name=f"UpConv_{last}"
+        )()
+        k5, b5 = _ConvBlockParams(
+            (3, 3, feats, feats), name=f"ConvBlock_{last + 1}"
+        )()
+        kd, bd = _ConvParams(
+            (3, 3, feats, 1), name=f"Conv_{self.num_scales - 1}"
+        )()
+
+        # UpConv: upsample2x+conv fused into one half-res conv.
+        y = lax.conv_general_dilated(
+            x.astype(dt), s2d_upconv_kernel(kup).astype(dt), (1, 1),
+            "SAME", dimension_numbers=dn,
+        )
+        y = nn.relu(y + tile_phase_bias(bup).astype(y.dtype))
+        # ConvBlock: full-res 3x3 as half-res structured 3x3.
+        y = lax.conv_general_dilated(
+            y, s2d_conv_kernel(k5).astype(dt), (1, 1), "SAME",
+            dimension_numbers=dn,
+        )
+        y = nn.relu(y + tile_phase_bias(b5).astype(y.dtype))
+        # Disp head; sigmoid/bounds are per-channel elementwise, so they
+        # commute with the final depth_to_space.
+        raw = lax.conv_general_dilated(
+            y, s2d_conv_kernel(kd).astype(dt), (1, 1), "SAME",
+            dimension_numbers=dn,
+        )
+        raw = raw + tile_phase_bias(bd).astype(raw.dtype)
+        disp = (
+            self.max_disp * nn.sigmoid(raw.astype(jnp.float32))
+            + self.min_disp
+        )
+        return depth_to_space2(disp)
 
     def single_scale(self, x, train: bool = False):
         """Finest-scale inverse depth only: (B, H, W, 1)."""

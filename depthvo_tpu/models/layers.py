@@ -262,3 +262,157 @@ class UpConv(nn.Module):
             self.features, 3, 1, use_bn=False, dtype=self.dtype,
             quant_mode=self.quant_mode,
         )(x, train)
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth rewrite of full-resolution 3x3 convolutions.
+#
+# The finest decoder stage (UpConv_4 -> ConvBlock_5 -> disp head) runs
+# 3x3 convs at full 608x160 resolution with 1-32 channels — the shapes
+# the round-4 roofline measured at 2.9x their byte floor (XLA's conv
+# backward tiles them poorly; PERF.md "convolution fusion" row). The
+# classic TPU fix: a stride-1 3x3 conv on (H, W, C) is EXACTLY a 3x3
+# conv on the space-to-depth form (H/2, W/2, 4C) whose (4C, 4C') kernel
+# is a structured embedding of the original (C, C') taps:
+#
+#   y[2I+a, 2J+b, co] = sum_{dp,dq,ci} W[dp,dq,ci,co] x[2I+a+dp, 2J+b+dq, ci]
+#   with 2u+a' = a+dp  (u in {-1,0,1} the s2d tap, a' the input phase)
+#   => Y[I,J,(a,b,co)] = sum_{u,v} sum_{(a',b',ci)}
+#        W2[u,v,(a',b',ci),(a,b,co)] X[I+u,J+v,(a',b',ci)]
+#   where W2[u,v,...] = W[2u+a'-a, 2v+b'-b, ci, co] when both offsets
+#   land in {-1,0,1}, else 0  (exactly 1/4 of W2 is non-zero).
+#
+# Same parameters, same function (mod float reassociation), but the
+# XLA program sees half-resolution 4x-channel convs whose forward AND
+# backward tile onto the MXU. Channel packing everywhere: index
+# (2a + b) * C + ci with a = row phase, b = col phase — matching the
+# subpixel head's depth_to_space.
+# ---------------------------------------------------------------------------
+
+
+def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel index (2a+b)*C + ci."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space2(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth2`."""
+    b, h2, w2, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h2, w2, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h2, 2 * w2, c)
+
+
+def s2d_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Embed a (3,3,Ci,Co) stride-1 SAME kernel into the equivalent
+    (3,3,4Ci,4Co) kernel over space-to-depth operands (see module note).
+    Built at trace time from static Python loops (144 combos); the
+    scatter is tiny and constant-folds around the parameter."""
+    ci, co = w.shape[2], w.shape[3]
+    zeros = jnp.zeros((ci, co), w.dtype)
+    rows_u = []
+    for u in (-1, 0, 1):
+        rows_v = []
+        for v in (-1, 0, 1):
+            # block[(a', b', ci), (a, b, co)]
+            block = [[None] * 4 for _ in range(4)]
+            for ap in (0, 1):
+                for bp in (0, 1):
+                    for a in (0, 1):
+                        for bq in (0, 1):
+                            dp = 2 * u + ap - a
+                            dq = 2 * v + bp - bq
+                            block[2 * ap + bp][2 * a + bq] = (
+                                w[dp + 1, dq + 1]
+                                if -1 <= dp <= 1 and -1 <= dq <= 1
+                                else zeros
+                            )
+            rows_v.append(
+                jnp.concatenate(
+                    [jnp.concatenate(r, axis=1) for r in block], axis=0
+                )
+            )
+        rows_u.append(jnp.stack(rows_v))
+    return jnp.stack(rows_u)  # (3, 3, 4Ci, 4Co)
+
+
+def s2d_upconv_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Embed a (3,3,Ci,Co) kernel applied AFTER nearest 2x upsampling
+    into the equivalent (3,3,Ci,4Co) kernel applied directly on the
+    coarse (un-upsampled) input: x_up[2I+a+dp] = x[I + floor((a+dp)/2)],
+    so taps that land in the same coarse cell SUM. Fuses
+    ``upsample2x -> conv3x3`` into one half-resolution conv."""
+    ci, co = w.shape[2], w.shape[3]
+    # taps[u][a] = list of dp with floor((a+dp)/2) == u
+    taps = {(-1, 0): [-1], (0, 0): [0, 1], (1, 0): [],
+            (-1, 1): [], (0, 1): [-1, 0], (1, 1): [1]}
+    rows_u = []
+    for u in (-1, 0, 1):
+        rows_v = []
+        for v in (-1, 0, 1):
+            block = [None] * 4  # [(a, b, co)] over ci
+            for a in (0, 1):
+                for bq in (0, 1):
+                    acc = jnp.zeros((ci, co), w.dtype)
+                    for dp in taps[(u, a)]:
+                        for dq in taps[(v, bq)]:
+                            acc = acc + w[dp + 1, dq + 1]
+                    block[2 * a + bq] = acc
+            rows_v.append(jnp.concatenate(block, axis=1))
+        rows_u.append(jnp.stack(rows_v))
+    return jnp.stack(rows_u)  # (3, 3, Ci, 4Co)
+
+
+def tile_phase_bias(b: jnp.ndarray) -> jnp.ndarray:
+    """(Co,) bias -> (4Co,) over the phase-packed output channels."""
+    return jnp.tile(b, 4)
+
+
+class _ConvParams(nn.Module):
+    """Parameter shell: declares an nn.Conv-compatible kernel/bias pair
+    (same names, shapes, init, f32) WITHOUT running the convolution —
+    the s2d finest stage consumes them through the kernel embeddings
+    above, keeping its checkpoint bit-compatible with the standard
+    stage."""
+
+    shape: tuple
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+        b = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.shape[-1],), jnp.float32
+            )
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
+class _ConvBlockParams(nn.Module):
+    """ConvBlock-shaped param shell (child named Conv_0, as ConvBlock's
+    anonymous nn.Conv auto-names itself)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.shape, name="Conv_0")()
+
+
+class _UpConvParams(nn.Module):
+    """UpConv-shaped param shell (child chain ConvBlock_0/Conv_0)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return _ConvBlockParams(self.shape, name="ConvBlock_0")()

@@ -178,6 +178,7 @@ def build_models(config: ExperimentConfig, depth_quant: str = "off"):
         compute_dtype=dt,
         fast_final_upsample=mc.fast_final_upsample,
         subpixel_head=mc.subpixel_head,
+        s2d_finest=mc.s2d_finest,
         remat=mc.remat,
         decoder_features=tuple(mc.decoder_features),
         quant_mode=depth_quant,

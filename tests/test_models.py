@@ -126,6 +126,72 @@ class TestSubpixelHead:
             net.init(jax.random.PRNGKey(0), x)
 
 
+class TestS2DFinest:
+    """The space-to-depth finest stage is an EXACT program rewrite: same
+    parameter tree, same function (mod float reassociation) — the
+    conv-backward lever of benchmarks/conv_levers.py."""
+
+    def test_param_tree_matches_standard(self):
+        x = jnp.zeros((1, H, W, 3))
+        std = DepthNet(num_scales=4).init(jax.random.PRNGKey(0), x)
+        s2d = DepthNet(num_scales=4, s2d_finest=True).init(
+            jax.random.PRNGKey(0), x
+        )
+        flat_std = jax.tree.map(jnp.shape, std["params"])
+        flat_s2d = jax.tree.map(jnp.shape, s2d["params"])
+        assert jax.tree.structure(flat_std) == jax.tree.structure(flat_s2d)
+        assert jax.tree.leaves(flat_std) == jax.tree.leaves(flat_s2d)
+
+    def test_forward_equivalent_to_standard(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, H, W, 3)), jnp.float32)
+        std_net = DepthNet(num_scales=4)
+        variables = std_net.init(jax.random.PRNGKey(7), x)
+        ref = std_net.apply(variables, x)
+        s2d_net = DepthNet(num_scales=4, s2d_finest=True)
+        got = s2d_net.apply(variables, x)  # SAME params, rewritten program
+        assert len(ref) == len(got)
+        for r, g in zip(ref, got):
+            assert r.shape == g.shape
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=2e-5,
+                err_msg="s2d finest stage must compute the standard "
+                        "stage's function",
+            )
+
+    def test_gradients_equivalent_to_standard(self):
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(1, H, W, 3)), jnp.float32)
+        std_net = DepthNet(num_scales=4)
+        variables = std_net.init(jax.random.PRNGKey(9), x)
+
+        def loss(params, net):
+            out = net.apply({**variables, "params": params}, x)
+            return sum(jnp.sum(d) for d in out)
+
+        g_std = jax.grad(loss)(variables["params"], std_net)
+        g_s2d = jax.grad(loss)(
+            variables["params"], DepthNet(num_scales=4, s2d_finest=True)
+        )
+        for p_std, p_s2d in zip(
+            jax.tree.leaves(g_std), jax.tree.leaves(g_s2d)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(p_s2d), np.asarray(p_std), rtol=2e-4, atol=2e-4
+            )
+
+    def test_exclusive_with_other_finest_modes(self):
+        x = jnp.zeros((1, H, W, 3))
+        with pytest.raises(ValueError, match="exclusive"):
+            DepthNet(s2d_finest=True, subpixel_head=True).init(
+                jax.random.PRNGKey(0), x
+            )
+        with pytest.raises(ValueError, match="quant"):
+            DepthNet(s2d_finest=True, quant_mode="int8").init(
+                jax.random.PRNGKey(0), x
+            )
+
+
 def test_depth_layer_order_and_table():
     """The caffe-time-analog per-layer table covers every top-level
     DepthNet boundary in execution order (profiling.depth_layer_order),
