@@ -53,9 +53,14 @@ class ModelConfig:
     subpixel_head: bool = False
     # Exact space-to-depth rewrite of the finest decoder stage: same
     # params and math as the standard stage, but the full-res 3x3 convs
-    # run at half resolution with 4x channels (MXU-tileable fwd+bwd) —
-    # the conv-backward lever measured in benchmarks/conv_levers.py.
-    s2d_finest: bool = False
+    # run at half resolution with 4x channels (MXU-tileable fwd+bwd).
+    # Default ON: measured -11.2% train step at batch 8 (37.65 ->
+    # 33.44 ms, benchmarks/conv_levers_2026-08-20.json) at zero quality
+    # cost (the function is identical; tests/test_models.py
+    # TestS2DFinest). Checkpoints are interchangeable with the standard
+    # stage, which int8 serving and the per-layer profiler still use
+    # (train/state.py::build_models forces it for quant modes).
+    s2d_finest: bool = True
     # Rematerialize DepthNet stages under AD (jax.checkpoint): recompute
     # in-stage activations in the backward instead of holding them in
     # HBM — the FLOPs-for-memory trade that raises the per-chip batch

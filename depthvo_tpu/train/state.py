@@ -178,7 +178,12 @@ def build_models(config: ExperimentConfig, depth_quant: str = "off"):
         compute_dtype=dt,
         fast_final_upsample=mc.fast_final_upsample,
         subpixel_head=mc.subpixel_head,
-        s2d_finest=mc.s2d_finest,
+        # Quantized serving runs the STANDARD finest stage: the s2d
+        # rewrite declares the same parameters (interchangeable
+        # checkpoints) but its structured kernels are a training-speed
+        # lever, while QuantConv's per-channel scales are defined on the
+        # standard conv shapes.
+        s2d_finest=mc.s2d_finest and depth_quant == "off",
         remat=mc.remat,
         decoder_features=tuple(mc.decoder_features),
         quant_mode=depth_quant,

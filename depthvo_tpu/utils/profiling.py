@@ -149,8 +149,15 @@ def depth_layer_table(
     from depthvo_tpu.train.state import build_models, create_state
 
     cfg = getattr(configs, variant)()
+    # The table attributes time to the STANDARD module boundaries
+    # (UpConv_i/ConvBlock_i/...); the s2d finest stage computes the same
+    # function through param shells whose captured "intermediate" would
+    # be the kernel itself, so the per-layer harness always times the
+    # standard program (weights are interchangeable — models/depth_net.py).
     cfg = dataclasses.replace(
-        cfg, model=dataclasses.replace(cfg.model, height=height, width=width)
+        cfg, model=dataclasses.replace(
+            cfg.model, height=height, width=width, s2d_finest=False
+        )
     )
     depth_model, odom_model, feat_model = build_models(cfg)
     state = create_state(cfg, jax.random.PRNGKey(0))

@@ -18,6 +18,12 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Persistent compile cache: XLA CPU compiles of the 608x160 ResNet
+# dominate suite wall-clock (fast lane 42 min cold on this 1-core
+# host); repeat runs hit the cache and drop most of it. Keyed by
+# backend+topology (stable: cpu x8 above), safe to share across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/depthvo_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax  # noqa: E402
 
