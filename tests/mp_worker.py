@@ -53,6 +53,29 @@ def main() -> int:
     from depthvo_tpu.parallel import mesh as pmesh
     from depthvo_tpu.train import loop as train_loop
 
+    # Rendezvous AFTER the heavy imports, BEFORE the first backend touch:
+    # gloo's address exchange (inside the first jax.devices()) carries a
+    # fixed in-library ~30 s deadline, and on a loaded 1-core host the
+    # flax/orbax import skew between workers alone can exceed it (the
+    # round-4/5 DEADLINE_EXCEEDED flake). A filesystem barrier bounds the
+    # skew at the deadline-sensitive phase to ~0.
+    if nproc > 1:
+        import time
+
+        # Port is unique per cluster attempt, so retries rendezvous
+        # afresh instead of sailing through a stale barrier.
+        barrier = os.path.join(outdir, f"import_barrier_{port}")
+        os.makedirs(barrier, exist_ok=True)
+        open(os.path.join(barrier, f"w{pid}"), "w").close()
+        deadline = time.time() + 900
+        while len(os.listdir(barrier)) < nproc:
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"worker {pid}: import barrier never filled "
+                    f"({os.listdir(barrier)} of {nproc})"
+                )
+            time.sleep(0.25)
+
     cfg = configs.tiny_test(batch_size=batch_size)
     mesh = pmesh.make_mesh()  # all global devices
     assert mesh.size == nproc * local_devices
