@@ -80,6 +80,34 @@ def main() -> int:
     mesh = pmesh.make_mesh()  # all global devices
     assert mesh.size == nproc * local_devices
 
+    if nproc > 1:
+        # Bring up EVERY Gloo communicator now, while inter-worker skew
+        # is ~0 (all workers just left the import barrier). Context
+        # creation is the one phase with a fixed ~30 s KV-store deadline
+        # inside XLA's CPU collectives, and it happens lazily at each
+        # clique's FIRST collective — which otherwise lands mid-training
+        # where asymmetric compile times (e.g. one worker hitting the
+        # persistent compile cache where its sibling misses) can exceed
+        # the deadline (the round-5 GetKeyValue DEADLINE_EXCEEDED
+        # failures). Once created, contexts are cached and later
+        # collectives simply wait for their peers.
+        from jax.experimental import multihost_utils
+
+        # Host-level clique: the one orbax + per-process batch assembly
+        # use (process_allgather / broadcast_one_to_all).
+        multihost_utils.process_allgather(np.zeros(1))
+        # All-device clique: the one the train step's gradient psum
+        # uses — a trivial jitted reduction over a mesh-sharded array
+        # compiles to a cross-process all-reduce in seconds.
+        import jax.numpy as jnp
+
+        # shard_batch takes this process's LOCAL rows in multi-process
+        # mode (local_devices of the mesh.size global).
+        sharded = pmesh.shard_batch(
+            np.zeros((local_devices, 1), np.float32), mesh
+        )
+        jax.jit(jnp.sum)(sharded).block_until_ready()
+
     # The multi-process data contract: identical deterministic iterator
     # everywhere, each process keeps its slice. fixed=True pins the
     # batch so every step sees the same global data in every variant of
